@@ -1,0 +1,112 @@
+"""Policy/value networks for tafl AlphaZero.
+
+The reference intended a libtorch NN backend (``tch = "0.18.1"`` in
+``/root/reference/Cargo.toml:8``) behind the ``nnet.predict(board) ->
+(policy, value)`` boundary of its MCTS (``src/mcts.py:85``) but contains zero
+NN code; this module supplies that component, TPU-first:
+
+- NHWC layout and bfloat16 compute (f32 params, f32 heads) so convolutions
+  tile onto the MXU.
+- GroupNorm instead of BatchNorm: stateless, so the apply function stays a
+  pure ``params -> logits`` map under jit/pjit with no mutable batch stats.
+- The policy head is a convolution to ``4*(N-1)`` move planes whose flatten
+  order matches the action encoding (from-tile major, then direction, then
+  distance — see :mod:`alphazeroforhnefatafl_tpu.core.actions`), keeping the
+  whole policy in one fused reshape instead of a giant dense layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class ResBlock(nn.Module):
+    channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        y = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(y)
+        return nn.relu(x + y)
+
+
+class PolicyValueNet(nn.Module):
+    """AlphaZero-style residual policy/value network.
+
+    Input: ``float32[B, N, N, C_in]`` observation planes (``TaflEnv.observe``).
+    Output: ``(policy_logits[B, A], value[B])`` with ``A = N*N*4*(N-1)`` and
+    value in [-1, 1] from the perspective of the player to move (the negamax
+    convention of the reference MCTS, ``src/mcts.py:67-69``).
+    """
+
+    board_size: int
+    channels: int = 64
+    blocks: int = 6
+    value_hidden: int = 128
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
+        n = self.board_size
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(x)
+        x = nn.relu(x)
+        for _ in range(self.blocks):
+            x = ResBlock(self.channels, dtype=self.dtype)(x)
+
+        # Policy head: one output plane per (direction, distance) pair, in the
+        # action-encoding order dir-major then distance.
+        move_planes = 4 * (n - 1)
+        p = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
+        p = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(p)
+        p = nn.relu(p)
+        p = nn.Conv(move_planes, (1, 1), dtype=jnp.float32)(p)
+        policy_logits = p.reshape(p.shape[0], n * n * move_planes)
+
+        # Value head.
+        v = nn.Conv(8, (1, 1), dtype=jnp.float32)(x.astype(jnp.float32))
+        v = nn.relu(v)
+        v = v.reshape(v.shape[0], -1)
+        v = nn.Dense(self.value_hidden, dtype=jnp.float32)(v)
+        v = nn.relu(v)
+        v = nn.Dense(1, dtype=jnp.float32)(v)
+        value = jnp.tanh(v)[:, 0]
+        return policy_logits, value
+
+
+def make_network(board_size: int, channels: int = 64, blocks: int = 6) -> PolicyValueNet:
+    return PolicyValueNet(board_size=board_size, channels=channels, blocks=blocks)
+
+
+def init_params(net: PolicyValueNet, rng: jax.Array, num_planes: int):
+    n = net.board_size
+    dummy = jnp.zeros((1, n, n, num_planes), dtype=jnp.float32)
+    return net.init(rng, dummy)
+
+
+def masked_policy(
+    logits: jax.Array, legal_mask: jax.Array
+) -> jax.Array:
+    """Masked softmax with the reference's uniform fallback.
+
+    Mirrors ``src/mcts.py:83-102``: priors are masked to legal actions and
+    renormalized; if the legal mass underflows to zero, fall back to a
+    uniform distribution over legal actions.
+    """
+    neg_inf = jnp.finfo(logits.dtype).min
+    masked = jnp.where(legal_mask, logits, neg_inf)
+    probs = jax.nn.softmax(masked, axis=-1)
+    probs = probs * legal_mask  # clear numerical residue on illegal actions
+    total = jnp.sum(probs, axis=-1, keepdims=True)
+    n_legal = jnp.maximum(jnp.sum(legal_mask, axis=-1, keepdims=True), 1)
+    uniform = legal_mask / n_legal
+    return jnp.where(total > 0, probs / jnp.maximum(total, 1e-30), uniform)

@@ -1,0 +1,410 @@
+"""On-device batched MCTS.
+
+TPU-native re-design of the reference's AlphaZero MCTS (``src/mcts.py``, the
+working Python version; ``src/mcts.rs`` is a non-compiling sketch of the same
+algorithm). The recursive, dict-keyed search inverts into an iterative
+array-tree program: a batch of B independent trees advances in lockstep, one
+leaf per tree per simulation, with a single fused NN forward over all B
+leaves per wave — everything inside one ``lax.scan`` under jit.
+
+Semantics preserved from the reference (cited into ``src/mcts.py``):
+
+- PUCT selection ``u = Q + cpuct * P * sqrt(Ns + EPS) / (1 + Nsa)`` with
+  ``Q = 0`` for unvisited edges (``mcts.py:109-121``; the visited/unvisited
+  formulas there coincide in this single expression).
+- Leaf expansion: NN priors masked to legal actions and renormalized, with a
+  uniform-over-legal fallback when everything masks to zero
+  (``mcts.py:83-102``).
+- Negamax values: a leaf/terminal value is from the perspective of that
+  node's player to move and flips sign at every step up the path
+  (``mcts.py:67-69, 125-136``).
+- Incremental backup ``Q = (N*Q + v) / (N + 1)`` as running sums W/N
+  (``mcts.py:127-135``); ``Ns`` incremented on interior path nodes only
+  (``mcts.py:135``).
+- Visit-count action probabilities with temperature, argmax one-hot with
+  random tie-break at ``temp == 0`` (``mcts.py:28-53``).
+
+Deliberate deviations, both standard for scale:
+
+- Each tree node keeps at most ``max_children`` candidate actions — the
+  highest-prior legal moves (action subsampling). With the default 128 this
+  is exact for all but the widest tafl positions.
+- Nodes are a tree, not the reference's transposition-merged hash map: two
+  move orders reaching the same position get separate nodes.
+
+Dirichlet root noise (AlphaZero-standard, absent from the reference's MCTS)
+is available for self-play exploration.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.env import DRAW, EnvState, ONGOING, TaflEnv
+
+EPS = 1e-8  # src/mcts.py:6
+NEG_INF = jnp.float32(-1e30)
+
+
+@dataclass(frozen=True)
+class MCTSConfig:
+    num_simulations: int = 128
+    max_children: int = 128
+    cpuct: float = 1.5  # args.cpuct in src/mcts.py:112
+    dirichlet_alpha: float = 0.3
+    dirichlet_eps: float = 0.25  # 0 disables root noise
+    max_depth: int = 128
+
+
+class Tree(struct.PyTreeNode):
+    """Array-tree for one game's search (batched with a leading B axis).
+
+    ``M = num_simulations + 1`` node slots, ``K = max_children`` edge slots.
+    """
+
+    state: EnvState  # [M, ...] env state at each node
+    expanded: jax.Array  # bool[M]
+    terminal: jax.Array  # bool[M]
+    terminal_value: jax.Array  # f32[M] value from node-mover's perspective
+    node_N: jax.Array  # i32[M]  (Ns)
+    child_action: jax.Array  # i32[M, K], -1 = empty slot
+    child_prior: jax.Array  # f32[M, K]
+    child_N: jax.Array  # i32[M, K]  (Nsa)
+    child_W: jax.Array  # f32[M, K]  (Nsa * Qsa)
+    child_node: jax.Array  # i32[M, K], -1 = not yet materialized
+    n_nodes: jax.Array  # i32 next free slot
+
+
+class SearchResult(struct.PyTreeNode):
+    action_probs: jax.Array  # f32[B, A] visit-count policy
+    root_value: jax.Array  # f32[B] mean root value (mover perspective)
+    root_visits: jax.Array  # i32[B]
+    tree: Any  # final Tree (batched), for inspection/reuse
+
+
+def terminal_value(state: EnvState) -> jax.Array:
+    """Value of a terminal state from the perspective of its player to move
+    (``getGameEnded(board, 1)`` convention, ``src/mcts.py:77-81``)."""
+    side = state.side_to_play
+    return jnp.where(
+        state.result == side,
+        1.0,
+        jnp.where(state.result == (1 - side), -1.0, 0.0),
+    ).astype(jnp.float32)
+
+
+def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
+    """Legal-masked, renormalized priors with uniform fallback
+    (``src/mcts.py:83-102``)."""
+    masked = jnp.where(legal, logits, NEG_INF)
+    p = jax.nn.softmax(masked, axis=-1) * legal
+    total = jnp.sum(p, axis=-1, keepdims=True)
+    n_legal = jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1)
+    return jnp.where(total > 0, p / jnp.maximum(total, 1e-30), legal / n_legal)
+
+
+class MCTS:
+    """Batched MCTS driver bound to an env and an evaluation function.
+
+    ``evaluate(params, obs[B, N, N, C]) -> (logits[B, A], value[B])`` is the
+    NN boundary (``nnet.predict``, ``src/mcts.py:85``).
+    """
+
+    def __init__(self, env: TaflEnv, evaluate: Callable, config: MCTSConfig):
+        self.env = env
+        self.evaluate = evaluate
+        self.config = config
+        self.num_nodes = config.num_simulations + 1
+
+    # -------------------- tree construction --------------------
+
+    def _empty_tree(self, root_state: EnvState) -> Tree:
+        """Single-game empty tree with the root state in slot 0."""
+        M, K = self.num_nodes, self.config.max_children
+        states = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (M,) + x.shape), root_state
+        )
+        return Tree(
+            state=states,
+            expanded=jnp.zeros((M,), bool),
+            terminal=jnp.zeros((M,), bool).at[0].set(root_state.terminated),
+            terminal_value=jnp.zeros((M,), jnp.float32)
+            .at[0]
+            .set(terminal_value(root_state)),
+            node_N=jnp.zeros((M,), jnp.int32),
+            child_action=jnp.full((M, K), -1, jnp.int32),
+            child_prior=jnp.zeros((M, K), jnp.float32),
+            child_N=jnp.zeros((M, K), jnp.int32),
+            child_W=jnp.zeros((M, K), jnp.float32),
+            child_node=jnp.full((M, K), -1, jnp.int32),
+            n_nodes=jnp.int32(1),
+        )
+
+    def _expand_node(self, tree: Tree, node: jax.Array, priors: jax.Array) -> Tree:
+        """Store the top-K prior actions as the node's candidate edges."""
+        K = self.config.max_children
+        top_p, top_a = jax.lax.top_k(priors, K)
+        has_mass = top_p > 0
+        top_a = jnp.where(has_mass, top_a, -1)
+        top_p = jnp.where(has_mass, top_p, 0.0)
+        return tree.replace(
+            expanded=tree.expanded.at[node].set(True),
+            child_action=tree.child_action.at[node].set(top_a.astype(jnp.int32)),
+            child_prior=tree.child_prior.at[node].set(top_p),
+        )
+
+    # -------------------- selection --------------------
+
+    def _select_slot(self, tree: Tree, node: jax.Array) -> jax.Array:
+        """PUCT argmax over the node's edge slots (``src/mcts.py:109-121``)."""
+        N = tree.child_N[node]
+        W = tree.child_W[node]
+        P = tree.child_prior[node]
+        Ns = tree.node_N[node].astype(jnp.float32)
+        Q = jnp.where(N > 0, W / jnp.maximum(N, 1), 0.0)
+        u = Q + self.config.cpuct * P * jnp.sqrt(Ns + EPS) / (1.0 + N)
+        u = jnp.where(tree.child_action[node] >= 0, u, NEG_INF)
+        return jnp.argmax(u).astype(jnp.int32)
+
+    def _traverse(self, tree: Tree):
+        """Walk from the root to a leaf edge without stepping the env.
+
+        Returns (path_nodes, path_slots, depth, leaf_parent, leaf_slot,
+        at_node_leaf, leaf_node): ``at_node_leaf`` means the walk stopped at
+        an unexpanded-or-terminal node (no new edge); otherwise it stopped at
+        an unmaterialized edge (child_node == -1).
+        """
+        D = self.config.max_depth
+        path_nodes = jnp.full((D,), -1, jnp.int32)
+        path_slots = jnp.full((D,), -1, jnp.int32)
+
+        def cond(c):
+            return ~c["done"]
+
+        def body(c):
+            node = c["node"]
+            is_leaf_node = ~tree.expanded[node] | tree.terminal[node]
+
+            slot = self._select_slot(tree, node)
+            child = tree.child_node[node, slot]
+            hit_edge = ~is_leaf_node & (child < 0)
+            descend = ~is_leaf_node & (child >= 0)
+            # Depth cap: treat as node leaf to keep the path buffer bounded.
+            depth_capped = c["depth"] >= D - 1
+
+            record = ~is_leaf_node
+            d = c["depth"]
+            path_nodes = c["path_nodes"].at[d].set(
+                jnp.where(record, node, c["path_nodes"][d])
+            )
+            path_slots = c["path_slots"].at[d].set(
+                jnp.where(record, slot, c["path_slots"][d])
+            )
+            new_depth = c["depth"] + record.astype(jnp.int32)
+
+            done = is_leaf_node | hit_edge | (descend & depth_capped)
+            return {
+                "node": jnp.where(descend, child, node),
+                "depth": new_depth,
+                "done": done,
+                "at_node_leaf": is_leaf_node | (descend & depth_capped),
+                "leaf_parent": jnp.where(hit_edge, node, c["leaf_parent"]),
+                "leaf_slot": jnp.where(hit_edge, slot, c["leaf_slot"]),
+                "path_nodes": path_nodes,
+                "path_slots": path_slots,
+            }
+
+        init = {
+            "node": jnp.int32(0),
+            "depth": jnp.int32(0),
+            "done": jnp.asarray(False),
+            "at_node_leaf": jnp.asarray(False),
+            "leaf_parent": jnp.int32(0),
+            "leaf_slot": jnp.int32(0),
+            "path_nodes": path_nodes,
+            "path_slots": path_slots,
+        }
+        out = jax.lax.while_loop(cond, body, init)
+        return out
+
+    # -------------------- one simulation wave --------------------
+
+    def _simulate_pre(self, tree: Tree):
+        """Per-game phase 1: traverse, materialize the leaf node, and return
+        (updated tree, traversal record, leaf node index)."""
+        t = self._traverse(tree)
+        at_node_leaf = t["at_node_leaf"]
+        parent, slot = t["leaf_parent"], t["leaf_slot"]
+
+        # Materialize the new child by stepping the env (only meaningful when
+        # we stopped at an edge; masked otherwise).
+        parent_state = jax.tree_util.tree_map(lambda x: x[parent], tree.state)
+        action = tree.child_action[parent, slot]
+        child_state, _ = self.env.step(
+            parent_state, jnp.maximum(action, 0), validate=False
+        )
+        new_idx = tree.n_nodes
+        make_new = ~at_node_leaf
+
+        def write_state(buf, val):
+            cur = jax.tree_util.tree_map(lambda x: x[new_idx], buf)
+            sel = jax.tree_util.tree_map(
+                lambda nv, cv: jnp.where(make_new, nv, cv), val, cur
+            )
+            return jax.tree_util.tree_map(
+                lambda b, v: b.at[new_idx].set(v), buf, sel
+            )
+
+        tree = tree.replace(
+            state=write_state(tree.state, child_state),
+            terminal=tree.terminal.at[new_idx].set(
+                jnp.where(make_new, child_state.terminated, tree.terminal[new_idx])
+            ),
+            terminal_value=tree.terminal_value.at[new_idx].set(
+                jnp.where(
+                    make_new, terminal_value(child_state), tree.terminal_value[new_idx]
+                )
+            ),
+            child_node=tree.child_node.at[parent, slot].set(
+                jnp.where(make_new, new_idx, tree.child_node[parent, slot])
+            ),
+            n_nodes=tree.n_nodes + make_new.astype(jnp.int32),
+        )
+        leaf = jnp.where(at_node_leaf, t["node"], new_idx)
+        return tree, t, leaf
+
+    def _simulate_post(
+        self, tree: Tree, t, leaf: jax.Array, priors: jax.Array, nn_value: jax.Array
+    ) -> Tree:
+        """Per-game phase 2: expand the leaf with NN priors (unless terminal)
+        and back the value up the path."""
+        leaf_terminal = tree.terminal[leaf]
+        # Expand non-terminal leaves (terminal nodes are never expanded,
+        # mirroring the Es cache short-circuit at src/mcts.py:77-81).
+        expanded_tree = self._expand_node(tree, leaf, priors)
+        tree = jax.tree_util.tree_map(
+            lambda keep, exp: jnp.where(leaf_terminal, keep, exp),
+            tree,
+            expanded_tree,
+        )
+
+        v = jnp.where(leaf_terminal, tree.terminal_value[leaf], nn_value)
+
+        # Negamax backup along the recorded path (src/mcts.py:125-136).
+        depth = t["depth"]
+
+        def body(i, carry):
+            tree, v = carry
+            idx = depth - 1 - i
+            node = t["path_nodes"][idx]
+            slot = t["path_slots"][idx]
+            v = -v
+            tree = tree.replace(
+                child_W=tree.child_W.at[node, slot].add(v),
+                child_N=tree.child_N.at[node, slot].add(1),
+                node_N=tree.node_N.at[node].add(1),
+            )
+            return tree, v
+
+        tree, _ = jax.lax.fori_loop(0, depth, body, (tree, v))
+        return tree
+
+    # -------------------- public API --------------------
+
+    def search(
+        self,
+        params,
+        root_state: EnvState,
+        root_legal: jax.Array,
+        rng: jax.Array,
+        add_noise: bool = True,
+    ) -> SearchResult:
+        """Run ``num_simulations`` sims for a batch of root states.
+
+        All leading dims are batched: ``root_state`` leaves have shape
+        ``[B, ...]``, ``root_legal`` is ``bool[B, A]``.
+        """
+        B = root_legal.shape[0]
+        cfg = self.config
+
+        # Root evaluation + expansion (the first leaf visit of the root).
+        obs = jax.vmap(self.env.observe)(root_state)
+        logits, _ = self.evaluate(params, obs)
+        priors = _masked_priors(logits, root_legal)
+        if add_noise and cfg.dirichlet_eps > 0:
+            rng, sub = jax.random.split(rng)
+            alpha = jnp.full((root_legal.shape[-1],), cfg.dirichlet_alpha)
+            noise = jax.random.dirichlet(sub, alpha, shape=(B,)) * root_legal
+            noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-30)
+            priors = (1 - cfg.dirichlet_eps) * priors + cfg.dirichlet_eps * noise
+            priors = priors * root_legal
+
+        tree = jax.vmap(self._empty_tree)(root_state)
+        tree = jax.vmap(self._expand_node)(tree, jnp.zeros((B,), jnp.int32), priors)
+
+        def sim_step(carry, _):
+            tree = carry
+            tree, t, leaf = jax.vmap(self._simulate_pre)(tree)
+            leaf_state = jax.vmap(
+                lambda tr, lf: jax.tree_util.tree_map(lambda x: x[lf], tr.state)
+            )(tree, leaf)
+            obs = jax.vmap(self.env.observe)(leaf_state)
+            logits, value = self.evaluate(params, obs)
+            legal = jax.vmap(self.env.legal_mask)(leaf_state)
+            priors = _masked_priors(logits, legal)
+            tree = jax.vmap(self._simulate_post)(tree, t, leaf, priors, value)
+            return tree, None
+
+        tree, _ = jax.lax.scan(
+            sim_step, tree, None, length=cfg.num_simulations
+        )
+
+        # Visit-count policy at the root (src/mcts.py:40-41).
+        A = root_legal.shape[-1]
+        root_counts = tree.child_N[:, 0, :].astype(jnp.float32)  # [B, K]
+        root_actions = tree.child_action[:, 0, :]  # [B, K]
+        valid = root_actions >= 0
+        probs = jnp.zeros((B, A), jnp.float32)
+        batch_idx = jnp.arange(B)[:, None]
+        probs = probs.at[batch_idx, jnp.maximum(root_actions, 0)].add(
+            jnp.where(valid, root_counts, 0.0)
+        )
+        total = jnp.maximum(probs.sum(-1, keepdims=True), 1e-30)
+        probs = probs / total
+
+        root_visits = tree.node_N[:, 0]
+        root_W = jnp.sum(jnp.where(valid, tree.child_W[:, 0, :], 0.0), axis=-1)
+        root_value = root_W / jnp.maximum(root_visits.astype(jnp.float32), 1.0)
+        return SearchResult(
+            action_probs=probs,
+            root_value=root_value,
+            root_visits=root_visits,
+            tree=tree,
+        )
+
+
+def select_actions(
+    probs: jax.Array, legal: jax.Array, temperature: jax.Array, rng: jax.Array
+) -> jax.Array:
+    """Sample actions from the visit-count policy with temperature.
+
+    ``temp == 0``: argmax with uniform random tie-break (``mcts.py:43-48``);
+    otherwise sample from ``counts ** (1/temp)`` renormalized
+    (``mcts.py:50-53``).
+    """
+    B, A = probs.shape
+    rng_tie, rng_sample = jax.random.split(rng)
+    # Argmax with random tie-break.
+    is_max = (probs >= jnp.max(probs, axis=-1, keepdims=True)) & legal
+    tie_noise = jax.random.uniform(rng_tie, (B, A))
+    greedy = jnp.argmax(is_max * (1.0 + tie_noise), axis=-1)
+    # Temperature sampling.
+    t = jnp.maximum(temperature, 1e-6)
+    logits = jnp.where(probs > 0, jnp.log(probs) / t, NEG_INF)
+    sampled = jax.random.categorical(rng_sample, logits, axis=-1)
+    return jnp.where(temperature <= 0, greedy, sampled).astype(jnp.int32)

@@ -404,7 +404,8 @@ def select_actions(
     tie_noise = jax.random.uniform(rng_tie, (B, A))
     greedy = jnp.argmax(is_max * (1.0 + tie_noise), axis=-1)
     # Temperature sampling.
-    t = jnp.maximum(temperature, 1e-6)
-    logits = jnp.where(probs > 0, jnp.log(probs) / t, NEG_INF)
+    temperature = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32), (B,))
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    logits = jnp.where(probs > 0, jnp.log(jnp.maximum(probs, 1e-30)) / t, NEG_INF)
     sampled = jax.random.categorical(rng_sample, logits, axis=-1)
     return jnp.where(temperature <= 0, greedy, sampled).astype(jnp.int32)

@@ -1,0 +1,102 @@
+"""Checkpoint / resume for the AlphaZero loop.
+
+The reference has no training checkpointing (SURVEY.md §5); its closest
+analogues are FEN snapshots and in-memory undo history. Here a checkpoint
+captures the full loop state — params, optimizer state, replay buffer
+contents, PRNG key and iteration counter — via Orbax, so any host restart
+resumes at the last iteration boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from .learner import TrainState
+from .replay import ReplayBuffer
+
+
+def _replay_state(replay: ReplayBuffer) -> Dict[str, Any]:
+    return {
+        "board": replay.board,
+        "side": replay.side,
+        "reps": replay.reps,
+        "policy_idx": replay.policy_idx,
+        "policy_p": replay.policy_p,
+        "value": replay.value,
+        "write": np.asarray(replay.write, np.int64),
+        "size": np.asarray(replay.size, np.int64),
+        "total_added": np.asarray(replay.total_added, np.int64),
+    }
+
+
+def _restore_replay(replay: ReplayBuffer, st: Dict[str, Any]) -> None:
+    replay.board[...] = st["board"]
+    replay.side[...] = st["side"]
+    replay.reps[...] = st["reps"]
+    replay.policy_idx[...] = st["policy_idx"]
+    replay.policy_p[...] = st["policy_p"]
+    replay.value[...] = st["value"]
+    replay.write = int(st["write"])
+    replay.size = int(st["size"])
+    replay.total_added = int(st["total_added"])
+
+
+class CheckpointManager:
+    """Iteration-boundary checkpointing with retention."""
+
+    def __init__(self, directory: str, max_to_keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(
+        self,
+        iteration: int,
+        train_state: TrainState,
+        replay: Optional[ReplayBuffer],
+        rng: jax.Array,
+        extra: Optional[Dict[str, Any]] = None,
+    ) -> None:
+        payload = {
+            "train_state": train_state,
+            "rng": np.asarray(rng),
+            "extra": extra or {},
+        }
+        if replay is not None:
+            payload["replay"] = _replay_state(replay)
+        self.mgr.save(iteration, args=ocp.args.StandardSave(payload))
+        self.mgr.wait_until_finished()
+
+    def latest_iteration(self) -> Optional[int]:
+        return self.mgr.latest_step()
+
+    def restore(
+        self,
+        train_state: TrainState,
+        replay: Optional[ReplayBuffer],
+        iteration: Optional[int] = None,
+    ) -> Tuple[int, TrainState, jax.Array, Dict[str, Any]]:
+        step = iteration if iteration is not None else self.mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.directory}")
+        template = {
+            "train_state": train_state,
+            "rng": np.zeros(2, np.uint32),
+            "extra": {},
+        }
+        if replay is not None:
+            template["replay"] = _replay_state(replay)
+        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+        if replay is not None:
+            _restore_replay(replay, restored["replay"])
+        rng = jax.numpy.asarray(restored["rng"])
+        return step, restored["train_state"], rng, restored.get("extra", {})

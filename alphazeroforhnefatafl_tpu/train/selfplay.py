@@ -1,0 +1,197 @@
+"""Batched self-play actor.
+
+The self-play driver the reference never wrote (its MCTS at ``src/mcts.py``
+implies an AlphaZero-general-style Coach above it; SURVEY.md §1 L2). Design:
+a lockstep batch of B games lives on device; each move runs one batched MCTS
+(one fused NN forward per simulation wave), samples actions with a
+temperature schedule, and steps all games in one fused env step. The host
+only orchestrates the move loop and flushes finished episodes to the replay
+buffer — the parallelism of this workload is batch-of-games data parallelism
+(SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..core.env import DRAW, ONGOING, TaflEnv
+from ..search.mcts import MCTS, MCTSConfig, select_actions
+from .replay import ReplayBuffer
+
+
+@dataclass(frozen=True)
+class SelfPlayConfig:
+    batch_size: int = 64
+    temp_threshold: int = 12  # moves with temp=1 before switching to argmax
+    max_game_len: int = 256  # positions beyond this are flushed as draws
+    policy_k: int = 128  # sparse policy-target width
+
+
+@dataclass
+class SelfPlayStats:
+    games: int = 0
+    positions: int = 0
+    attacker_wins: int = 0
+    defender_wins: int = 0
+    draws: int = 0
+    truncated: int = 0
+    length_sum: int = 0
+
+    def as_dict(self):
+        g = max(self.games, 1)
+        return {
+            "games": self.games,
+            "positions": self.positions,
+            "attacker_win_rate": self.attacker_wins / g,
+            "defender_win_rate": self.defender_wins / g,
+            "draw_rate": self.draws / g,
+            "truncated": self.truncated,
+            "avg_length": self.length_sum / g,
+        }
+
+
+class SelfPlayActor:
+    """Runs lockstep self-play games and feeds a replay buffer."""
+
+    def __init__(
+        self,
+        env: TaflEnv,
+        evaluate: Callable,
+        mcts_config: MCTSConfig,
+        config: SelfPlayConfig,
+    ):
+        self.env = env
+        self.cfg = config
+        self.mcts = MCTS(env, evaluate, mcts_config)
+
+        def move_fn(params, states, temps, rng):
+            rng, r_search, r_sample = jax.random.split(rng, 3)
+            legal = jax.vmap(env.legal_mask)(states)
+            result = self.mcts.search(params, states, legal, r_search, add_noise=True)
+            actions = select_actions(result.action_probs, legal, temps, r_sample)
+            new_states, info = jax.vmap(
+                lambda s, a: env.step(s, a, validate=False)
+            )(states, actions)
+            # Sparse top-K policy target.
+            top_p, top_a = jax.lax.top_k(result.action_probs, config.policy_k)
+            top_a = jnp.where(top_p > 0, top_a, -1)
+            return (
+                new_states,
+                actions,
+                info,
+                top_a.astype(jnp.int32),
+                top_p,
+                result.root_value,
+                rng,
+            )
+
+        self._move = jax.jit(move_fn)
+        self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
+
+    def play(
+        self,
+        params,
+        replay: Optional[ReplayBuffer],
+        rng: jax.Array,
+        num_games: int,
+        stats: Optional[SelfPlayStats] = None,
+    ) -> SelfPlayStats:
+        """Play at least ``num_games`` complete games, writing every finished
+        episode's positions (with final-outcome value targets) to ``replay``."""
+        env, cfg = self.env, self.cfg
+        B, L, K = cfg.batch_size, cfg.max_game_len, cfg.policy_k
+        n = env.n
+        stats = stats or SelfPlayStats()
+
+        states = self._reset_batch()
+        # Per-game episode buffers (host, numpy).
+        ep_board = np.zeros((B, L, n, n), np.int8)
+        ep_side = np.zeros((B, L), np.int8)
+        ep_reps = np.zeros((B, L), np.int8)
+        ep_pidx = np.full((B, L, K), -1, np.int32)
+        ep_pp = np.zeros((B, L, K), np.float32)
+        ep_len = np.zeros((B,), np.int32)
+
+        completed = 0
+        while completed < num_games:
+            move_idx = ep_len  # per-game move count
+            temps = jnp.asarray((move_idx < cfg.temp_threshold).astype(np.float32))
+            # Snapshot position before the move (host copies).
+            b_board = np.asarray(states.board)
+            b_side = np.asarray(states.side_to_play).astype(np.int8)
+            b_reps = np.asarray(
+                states.reps[np.arange(B), np.asarray(states.side_to_play)]
+            ).astype(np.int8)
+
+            rng, sub = jax.random.split(rng)
+            states, actions, info, top_a, top_p, root_v, _ = self._move(
+                params, states, temps, sub
+            )
+
+            top_a_np = np.asarray(top_a)
+            top_p_np = np.asarray(top_p)
+            for g in range(B):
+                t = int(ep_len[g])
+                if t < L:
+                    ep_board[g, t] = b_board[g]
+                    ep_side[g, t] = b_side[g]
+                    ep_reps[g, t] = b_reps[g]
+                    ep_pidx[g, t] = top_a_np[g]
+                    ep_pp[g, t] = top_p_np[g]
+            ep_len += 1
+
+            done = np.asarray(states.terminated)
+            results = np.asarray(states.result)
+            truncate = (ep_len >= L) & ~done
+            for g in range(B):
+                if not (done[g] or truncate[g]):
+                    continue
+                length = int(min(ep_len[g], L))
+                r = int(results[g]) if done[g] else DRAW
+                sides = ep_side[g, :length]
+                if r == DRAW:
+                    z = np.zeros(length, np.float32)
+                else:
+                    z = np.where(sides == r, 1.0, -1.0).astype(np.float32)
+                if replay is not None:
+                    replay.add(
+                        ep_board[g, :length],
+                        sides,
+                        ep_reps[g, :length],
+                        ep_pidx[g, :length],
+                        ep_pp[g, :length],
+                        z,
+                    )
+                stats.games += 1
+                stats.positions += length
+                stats.length_sum += length
+                if done[g]:
+                    if r == DRAW:
+                        stats.draws += 1
+                    elif r == 0:
+                        stats.attacker_wins += 1
+                    else:
+                        stats.defender_wins += 1
+                else:
+                    stats.truncated += 1
+                    stats.draws += 1
+                completed += 1
+                ep_len[g] = 0
+
+            # Reset finished/truncated games on device.
+            reset_mask = jnp.asarray(done | truncate)
+            fresh = self._reset_batch()
+
+            def where_reset(f, c):
+                d = reset_mask.reshape(reset_mask.shape + (1,) * (c.ndim - 1))
+                return jnp.where(d, f, c)
+
+            states = jax.tree_util.tree_map(where_reset, fresh, states)
+
+        return stats

@@ -1,0 +1,44 @@
+"""Metrics and observability.
+
+The reference's only instrumentation is one error log line
+(``src/mcts.py:96``); this supplies the per-iteration scalar logging the
+TPU build needs (games/s, sims/s, loss terms, arena scores), emitted as
+JSON lines for easy scraping plus human-readable console summaries.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from collections import OrderedDict
+from typing import Dict, Optional, TextIO
+
+
+class MetricsLogger:
+    """Buffers scalars per step and flushes one JSON line per step."""
+
+    def __init__(self, stream: Optional[TextIO] = None, jsonl_path: Optional[str] = None):
+        self.stream = stream or sys.stdout
+        self._file = open(jsonl_path, "a") if jsonl_path else None
+        self._pending: "OrderedDict[str, float]" = OrderedDict()
+        self._t0 = time.time()
+
+    def scalar(self, name: str, value, step: Optional[int] = None) -> None:
+        self._pending[name] = float(value)
+
+    def flush(self, step: Optional[int] = None) -> None:
+        if not self._pending:
+            return
+        rec = {"step": step, "t": round(time.time() - self._t0, 3)}
+        rec.update({k: round(v, 6) for k, v in self._pending.items()})
+        line = json.dumps(rec)
+        print(line, file=self.stream, flush=True)
+        if self._file:
+            self._file.write(line + "\n")
+            self._file.flush()
+        self._pending.clear()
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()

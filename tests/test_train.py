@@ -1,0 +1,124 @@
+"""Training-stack unit tests: replay buffer, batch builder, learner step,
+action selection, arena scoring."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alphazeroforhnefatafl_tpu.core.env import TaflEnv
+from alphazeroforhnefatafl_tpu.core.rules import BOARDS, BRANDUBH
+from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
+from alphazeroforhnefatafl_tpu.search.mcts import select_actions
+from alphazeroforhnefatafl_tpu.train.arena import ArenaResult
+from alphazeroforhnefatafl_tpu.train.learner import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+from alphazeroforhnefatafl_tpu.train.replay import ReplayBuffer, make_batch_builder
+
+
+def _env():
+    return TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+
+
+def test_replay_fifo_eviction():
+    env = _env()
+    buf = ReplayBuffer(env, capacity=10, policy_k=4)
+    n = env.n
+    for i in range(3):
+        m = 4
+        boards = np.full((m, n, n), i, np.int8)
+        buf.add(
+            boards,
+            np.zeros(m, np.int8),
+            np.zeros(m, np.int8),
+            np.zeros((m, 4), np.int32),
+            np.ones((m, 4), np.float32) / 4,
+            np.ones(m, np.float32),
+        )
+    assert buf.size == 10
+    assert buf.total_added == 12
+    # Oldest entries (first two of batch 0) have been overwritten.
+    assert (buf.board[0] == 2).all() and (buf.board[1] == 2).all()
+    assert (buf.board[2] == 0).all()
+
+    s = buf.sample(np.random.RandomState(0), 8)
+    assert s.board.shape == (8, n, n)
+
+
+def test_batch_builder_reconstruction():
+    env = _env()
+    build = make_batch_builder(env)
+    state = env.reset()
+    board = np.asarray(state.board)[None]
+    side = np.array([0], np.int8)
+    reps = np.array([2], np.int8)
+    pidx = np.array([[5, 9, -1, -1]], np.int32)
+    pp = np.array([[0.75, 0.25, 0.0, 0.0]], np.float32)
+    val = np.array([0.5], np.float32)
+    batch = build(
+        jnp.asarray(board), jnp.asarray(side), jnp.asarray(reps),
+        jnp.asarray(pidx), jnp.asarray(pp), jnp.asarray(val),
+    )
+    # Dense policy target reconstructed from the sparse form.
+    target = np.asarray(batch.policy_target)[0]
+    assert target[5] == 0.75 and target[9] == 0.25
+    assert target.sum() == 1.0
+    # Legal mask matches the env's own mask for this position.
+    expected = np.asarray(env.legal_mask(state))
+    assert np.array_equal(np.asarray(batch.legal_mask)[0], expected)
+    # Observation reflects the repetition plane for the side to move.
+    obs = np.asarray(batch.obs)[0]
+    assert np.allclose(obs[..., 5], 2.0 / 3.0)
+
+
+def test_train_step_reduces_loss():
+    env = _env()
+    net = make_network(env.n, channels=8, blocks=1)
+    opt = make_optimizer(learning_rate=1e-2, warmup_steps=1)
+    state = init_train_state(net, jax.random.PRNGKey(0), env.num_observation_planes, opt)
+    step = jax.jit(make_train_step(net, opt))
+
+    from alphazeroforhnefatafl_tpu.train.learner import Batch
+
+    b, a = 16, env.num_actions
+    rng = np.random.RandomState(0)
+    legal = np.zeros((b, a), bool)
+    legal[:, :10] = True
+    target = rng.dirichlet(np.ones(10), size=b).astype(np.float32)
+    pt = np.zeros((b, a), np.float32)
+    pt[:, :10] = target
+    batch = Batch(
+        obs=jnp.asarray(rng.randn(b, env.n, env.n, env.num_observation_planes), jnp.float32),
+        policy_target=jnp.asarray(pt),
+        value_target=jnp.asarray(rng.uniform(-1, 1, b), jnp.float32),
+        legal_mask=jnp.asarray(legal),
+    )
+    losses = []
+    for _ in range(30):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 30
+
+
+def test_select_actions_temperature():
+    probs = jnp.asarray([[0.0, 0.7, 0.3, 0.0]])
+    legal = jnp.asarray([[False, True, True, False]])
+    greedy = select_actions(probs, legal, jnp.asarray([0.0]), jax.random.PRNGKey(0))
+    assert int(greedy[0]) == 1
+    # Sampling never picks zero-probability actions.
+    picks = set()
+    for i in range(20):
+        a = select_actions(probs, legal, jnp.asarray([1.0]), jax.random.PRNGKey(i))
+        picks.add(int(a[0]))
+    assert picks <= {1, 2}
+
+
+def test_arena_result_math():
+    r = ArenaResult(games=20, candidate_wins=12, incumbent_wins=6, draws=2)
+    assert abs(r.score - 0.65) < 1e-9
+    assert r.elo_delta > 0
+    even = ArenaResult(games=10, candidate_wins=5, incumbent_wins=5, draws=0)
+    assert abs(even.elo_delta) < 1e-6

@@ -387,58 +387,46 @@ class TaflEnv:
         pin = pins[case_c]
         pos0 = jnp.where(case_c < 2, tc, tr)
 
-        mover_side = side
-        att_cell = jnp.int8(CELL_ATT)
-
-        def side_of(cell):
-            # 0 attacker, 1 defender; only meaningful for occupied cells.
-            return jnp.where(cell == att_cell, 0, 1)
+        # The reference walks the lane tile by tile (logic.rs:485-528); the
+        # walk continues exactly while tiles are "wall extenders" (enemy
+        # pinned from off-edge by a friendly piece, not a closing corner), so
+        # the whole scan reduces to finding the first non-extender tile in
+        # each direction and classifying it — no sequential loop.
+        idx = jnp.arange(n)
+        occupied = line != EMPTY
+        line_side = jnp.where(line == jnp.int8(CELL_ATT), 0, 1)
+        friendly = occupied & (line_side == side)
+        enemy = occupied & (line_side != side)
+        pin_occ = pin != EMPTY
+        pin_side = jnp.where(pin == jnp.int8(CELL_ATT), 0, 1)
+        enemy_pinned = enemy & pin_occ & (pin_side == side)
+        corner = (idx == 0) | (idx == n - 1)
+        cc = corner & bool(sw.corners_may_close)
+        ext = enemy_pinned & ~cc
+        # Tiles that close the wall when hit (logic.rs:493-528): a friendly
+        # piece, an empty closing corner, or a pinned enemy on a closing
+        # corner (added to the wall *and* closing it).
+        closer = friendly | (~occupied & cc) | (enemy_pinned & cc)
 
         def scan_dir(direction: int) -> Tuple[jax.Array, jax.Array]:
             """Returns (success, wall bool[N]) for one scan direction."""
-            wall = jnp.zeros((n,), dtype=bool)
-            active = jnp.asarray(True)
-            success = jnp.asarray(False)
-
-            def body(step, carry):
-                wall, active, success = carry
-                t = pos0 + direction * step
-                in_b = (t >= 0) & (t < n)
-                tcl = jnp.clip(t, 0, n - 1)
-                cell = line[tcl]
-                occupied = cell != EMPTY
-                is_corner = (tcl == 0) | (tcl == n - 1)
-                # Out of bounds: no closing piece found -> fail.
-                fail_oob = active & ~in_b
-                walkable = active & in_b
-                corner_close = bool(sw.corners_may_close) & is_corner
-                # Unoccupied, non-closing-corner -> fail (logic.rs:493-501).
-                fail_open = walkable & ~occupied & ~corner_close
-                # Unoccupied closing corner -> close (logic.rs:502-507).
-                close_empty_corner = walkable & ~occupied & corner_close
-                # Occupied tile:
-                occ = walkable & occupied
-                enemy = occ & (side_of(cell) != mover_side)
-                pin_cell = pin[tcl]
-                pin_occupied = pin_cell != EMPTY
-                pin_friendly = pin_occupied & (side_of(pin_cell) == mover_side)
-                # Enemy not pinned by a friendly piece -> fail (logic.rs:510-522).
-                fail_pin = enemy & ~pin_friendly
-                add_wall = enemy & pin_friendly
-                wall = wall.at[tcl].set(jnp.where(add_wall, True, wall[tcl]))
-                # Friendly piece or closing corner terminates the wall
-                # (logic.rs:524-528). Note: checked after the enemy branch.
-                friendly = occ & (side_of(cell) == mover_side)
-                close = close_empty_corner | (occ & (friendly | corner_close) & ~fail_pin)
-                wall_count = jnp.sum(wall)
-                succeed = close & (wall_count >= 2)
-                new_active = active & ~(fail_oob | fail_open | fail_pin | close)
-                new_success = success | succeed
-                return wall, new_active, new_success
-
-            wall, active, success = jax.lax.fori_loop(
-                1, n, body, (wall, active, success)
-            )
+            if direction > 0:
+                cand = ~ext & (idx > pos0)
+                q = jnp.min(jnp.where(cand, idx, n))  # n = walked off-board
+                q_in = q < n
+            else:
+                cand = ~ext & (idx < pos0)
+                q = jnp.max(jnp.where(cand, idx, -1))  # -1 = walked off-board
+                q_in = q >= 0
+            qc = jnp.clip(q, 0, n - 1)
+            close = q_in & closer[qc]
+            incl_q = q_in & enemy_pinned[qc] & cc[qc]
+            lo = jnp.minimum(pos0, q)
+            hi = jnp.maximum(pos0, q)
+            between = (idx > lo) & (idx < hi)  # all extenders by construction
+            count = hi - lo - 1 + incl_q.astype(jnp.int32)
+            success = close & (count >= 2)
+            wall = between | (incl_q & (idx == qc) & q_in)
             return success, wall
 
         s_neg, w_neg = scan_dir(-1)
@@ -589,11 +577,33 @@ class TaflEnv:
     # Enclosures (logic.rs:309-463) / exit forts (572-601) / surround win
     # ------------------------------------------------------------------
 
+    @staticmethod
+    def _seg_spread(reach: jax.Array, allowed: jax.Array, axis: int) -> jax.Array:
+        """Propagate ``reach`` along contiguous ``allowed`` runs of one axis.
+
+        One segmented OR-scan in each direction: within every maximal run of
+        allowed tiles, a run becomes fully reached if any of its tiles is.
+        The combine op is the standard segmented-scan monoid (gate, value).
+        """
+
+        def combine(a, b):
+            g1, v1 = a
+            g2, v2 = b
+            return g1 & g2, (v1 & g2) | v2
+
+        axis = axis % reach.ndim  # reverse=True requires a nonnegative axis
+        elems = (allowed, reach & allowed)
+        _, fwd = jax.lax.associative_scan(combine, elems, axis=axis)
+        _, bwd = jax.lax.associative_scan(combine, elems, axis=axis, reverse=True)
+        return fwd | bwd
+
     def _flood(self, seed: jax.Array, allowed: jax.Array) -> jax.Array:
         """Connected component of ``allowed`` containing ``seed`` (4-conn).
 
-        Bounded dilation fixpoint replacing the reference's span flood fill
-        (``logic.rs:309-401``).
+        Fixpoint of row/column segmented-scan propagation replacing the
+        reference's span flood fill (``logic.rs:309-401``): each pass spreads
+        the region across whole runs at once, so the loop converges in
+        O(#bends of the region) passes instead of O(diameter) dilations.
         """
         seed = seed & allowed
 
@@ -603,7 +613,8 @@ class TaflEnv:
 
         def body(carry):
             reach, _ = carry
-            new = (_dilate4(reach) & allowed) | reach
+            new = self._seg_spread(reach, allowed, axis=-1)
+            new = self._seg_spread(new, allowed, axis=-2)
             return new, jnp.any(new != reach)
 
         reach, _ = jax.lax.while_loop(cond, body, (seed, jnp.asarray(True)))

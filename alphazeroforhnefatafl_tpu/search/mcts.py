@@ -236,7 +236,14 @@ class MCTS:
 
     def _simulate_pre(self, tree: Tree):
         """Per-game phase 1: traverse, materialize the leaf node, and return
-        (updated tree, traversal record, leaf node index)."""
+        (updated tree, traversal record, leaf node index, leaf legal mask).
+
+        The leaf's legal mask comes for free from the materializing env step
+        (``info.legal_mask`` — the env already runs the next player's ray
+        scan for its NoPlays check), so the search never recomputes it. It is
+        only meaningful for newly materialized leaves; the other leaf kinds
+        (terminal nodes, depth-capped nodes) are never (re-)expanded.
+        """
         t = self._traverse(tree)
         at_node_leaf = t["at_node_leaf"]
         parent, slot = t["leaf_parent"], t["leaf_slot"]
@@ -245,7 +252,7 @@ class MCTS:
         # we stopped at an edge; masked otherwise).
         parent_state = jax.tree_util.tree_map(lambda x: x[parent], tree.state)
         action = tree.child_action[parent, slot]
-        child_state, _ = self.env.step(
+        child_state, step_info = self.env.step(
             parent_state, jnp.maximum(action, 0), validate=False
         )
         new_idx = tree.n_nodes
@@ -276,7 +283,7 @@ class MCTS:
             n_nodes=tree.n_nodes + make_new.astype(jnp.int32),
         )
         leaf = jnp.where(at_node_leaf, t["node"], new_idx)
-        return tree, t, leaf
+        return tree, t, leaf, step_info.legal_mask
 
     def _simulate_post(
         self, tree: Tree, t, leaf: jax.Array, priors: jax.Array, nn_value: jax.Array
@@ -284,11 +291,14 @@ class MCTS:
         """Per-game phase 2: expand the leaf with NN priors (unless terminal)
         and back the value up the path."""
         leaf_terminal = tree.terminal[leaf]
-        # Expand non-terminal leaves (terminal nodes are never expanded,
-        # mirroring the Es cache short-circuit at src/mcts.py:77-81).
+        # Expand only newly materialized, non-terminal leaves (terminal nodes
+        # are never expanded, mirroring the Es cache short-circuit at
+        # src/mcts.py:77-81; depth-capped nodes are already expanded and keep
+        # their edges — their NN value still backs up the path).
+        expand = ~t["at_node_leaf"] & ~leaf_terminal
         expanded_tree = self._expand_node(tree, leaf, priors)
         tree = jax.tree_util.tree_map(
-            lambda keep, exp: jnp.where(leaf_terminal, keep, exp),
+            lambda keep, exp: jnp.where(expand, exp, keep),
             tree,
             expanded_tree,
         )
@@ -349,14 +359,13 @@ class MCTS:
 
         def sim_step(carry, _):
             tree = carry
-            tree, t, leaf = jax.vmap(self._simulate_pre)(tree)
+            tree, t, leaf, leaf_legal = jax.vmap(self._simulate_pre)(tree)
             leaf_state = jax.vmap(
                 lambda tr, lf: jax.tree_util.tree_map(lambda x: x[lf], tr.state)
             )(tree, leaf)
             obs = jax.vmap(self.env.observe)(leaf_state)
             logits, value = self.evaluate(params, obs)
-            legal = jax.vmap(self.env.legal_mask)(leaf_state)
-            priors = _masked_priors(logits, legal)
+            priors = _masked_priors(logits, leaf_legal)
             tree = jax.vmap(self._simulate_post)(tree, t, leaf, priors, value)
             return tree, None
 

@@ -15,6 +15,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from alphazeroforhnefatafl_tpu.core.env import make_env
 
@@ -23,9 +24,11 @@ TARGET_STEPS_PER_S = 100_000.0
 
 def build_rollout(env, batch: int, chunk: int):
     def policy_step(carry, _):
-        state, rng = carry
+        # The legal mask is carried from the previous step's info — the env
+        # already computes the next player's mask for the NoPlays outcome
+        # check, so recomputing it here would double the ray-scan work.
+        state, mask, rng = carry
         rng, k = jax.random.split(rng)
-        mask = jax.vmap(env.legal_mask)(state)
         noise = jax.random.uniform(k, mask.shape, dtype=jnp.float32)
         action = jnp.argmax(mask * noise, axis=-1).astype(jnp.int32)
         state, info = jax.vmap(lambda s, a: env.step(s, a, validate=False))(
@@ -33,6 +36,7 @@ def build_rollout(env, batch: int, chunk: int):
         )
         # Auto-reset finished games so the batch stays saturated.
         fresh = env.reset_batch(batch)
+        fresh_mask = jax.vmap(env.legal_mask)(fresh)
         done = state.terminated
 
         def where_done(f, c):
@@ -40,13 +44,17 @@ def build_rollout(env, batch: int, chunk: int):
             return jnp.where(d, f, c)
 
         state = jax.tree_util.tree_map(where_done, fresh, state)
-        return (state, rng), info.terminated.sum()
+        mask = jnp.where(done[:, None], fresh_mask, info.legal_mask)
+        return (state, mask, rng), info.terminated.sum()
 
-    def rollout(state, rng):
-        (state, rng), dones = jax.lax.scan(
-            policy_step, (state, rng), None, length=chunk
+    def rollout(state, mask, rng):
+        (state, mask, rng), dones = jax.lax.scan(
+            policy_step, (state, mask, rng), None, length=chunk
         )
-        return state, rng, dones.sum()
+        # Tiny checksum fetched to host each call: forces a true device sync
+        # (block_until_ready is unreliable on tunneled backends).
+        checksum = dones.sum() + jnp.sum(state.turn)
+        return state, mask, rng, checksum
 
     return jax.jit(rollout)
 
@@ -60,18 +68,19 @@ def main():
 
     env = make_env("copenhagen")
     state = env.reset_batch(batch)
+    mask = jax.jit(jax.vmap(env.legal_mask))(state)
     rng = jax.random.PRNGKey(0)
     rollout = build_rollout(env, batch, chunk)
 
-    # Warmup / compile.
-    state, rng, _ = rollout(state, rng)
-    jax.block_until_ready(state.board)
+    # Warmup / compile. np.asarray fetches the checksum to the host — a true
+    # sync even where block_until_ready is a no-op (tunneled backends).
+    state, mask, rng, checksum = rollout(state, mask, rng)
+    np.asarray(checksum)
 
     t0 = time.perf_counter()
-    total_done = 0
     for _ in range(iters):
-        state, rng, dones = rollout(state, rng)
-    jax.block_until_ready(state.board)
+        state, mask, rng, checksum = rollout(state, mask, rng)
+    np.asarray(checksum)
     dt = time.perf_counter() - t0
 
     steps = batch * chunk * iters

@@ -361,9 +361,14 @@ class TaflEnv:
     ) -> jax.Array:
         """Shieldwall capture mask ``bool[N, N]`` (``logic.rs:471-569``).
 
-        The destination tile must be on an edge; the edge line is gathered as
-        a 1-D lane, scanned both directions with the exact reference rules,
-        and scattered back.
+        The reference walks the destination's edge lane tile by tile
+        (``logic.rs:485-528``); the walk continues exactly while tiles are
+        "wall extenders" (enemy pinned from off-edge by a friendly piece, not
+        a closing corner), so the scan reduces to finding the first
+        non-extender tile in each direction and classifying it. All four edge
+        lanes are scanned together and the active one selected with one-hot
+        compares: dynamic-index gathers are pathologically slow on TPU, so
+        4x the (trivial) lane arithmetic is the cheaper trade.
         """
         sw = self.rules.shieldwall
         n = self.n
@@ -376,29 +381,20 @@ class TaflEnv:
             0,
             jnp.where(tr == n - 1, 1, jnp.where(tc == 0, 2, jnp.where(tc == n - 1, 3, 4))),
         )
-        at_edge = case < 4
-        case_c = jnp.minimum(case, 3)
 
-        # lines[k]: the edge lane for case k; pins[k]: the lane one tile
-        # off-edge (the "away_from_edge" side).
-        lines = jnp.stack([board[0, :], board[n - 1, :], board[:, 0], board[:, n - 1]])
+        # lanes[k]: the edge lane for case k; pins[k]: the lane one tile
+        # off-edge (the "away_from_edge" side). Shapes [4, N].
+        lanes = jnp.stack([board[0, :], board[n - 1, :], board[:, 0], board[:, n - 1]])
         pins = jnp.stack([board[1, :], board[n - 2, :], board[:, 1], board[:, n - 2]])
-        line = lines[case_c]
-        pin = pins[case_c]
-        pos0 = jnp.where(case_c < 2, tc, tr)
+        pos0 = jnp.where(jnp.arange(4) < 2, tc, tr)[:, None]  # [4, 1]
 
-        # The reference walks the lane tile by tile (logic.rs:485-528); the
-        # walk continues exactly while tiles are "wall extenders" (enemy
-        # pinned from off-edge by a friendly piece, not a closing corner), so
-        # the whole scan reduces to finding the first non-extender tile in
-        # each direction and classifying it — no sequential loop.
         idx = jnp.arange(n)
-        occupied = line != EMPTY
-        line_side = jnp.where(line == jnp.int8(CELL_ATT), 0, 1)
-        friendly = occupied & (line_side == side)
-        enemy = occupied & (line_side != side)
-        pin_occ = pin != EMPTY
-        pin_side = jnp.where(pin == jnp.int8(CELL_ATT), 0, 1)
+        occupied = lanes != EMPTY
+        lane_side = jnp.where(lanes == jnp.int8(CELL_ATT), 0, 1)
+        friendly = occupied & (lane_side == side)
+        enemy = occupied & (lane_side != side)
+        pin_occ = pins != EMPTY
+        pin_side = jnp.where(pins == jnp.int8(CELL_ATT), 0, 1)
         enemy_pinned = enemy & pin_occ & (pin_side == side)
         corner = (idx == 0) | (idx == n - 1)
         cc = corner & bool(sw.corners_may_close)
@@ -409,50 +405,56 @@ class TaflEnv:
         closer = friendly | (~occupied & cc) | (enemy_pinned & cc)
 
         def scan_dir(direction: int) -> Tuple[jax.Array, jax.Array]:
-            """Returns (success, wall bool[N]) for one scan direction."""
+            """Returns (success bool[4], wall bool[4, N]) per edge lane."""
             if direction > 0:
                 cand = ~ext & (idx > pos0)
-                q = jnp.min(jnp.where(cand, idx, n))  # n = walked off-board
+                q = jnp.min(jnp.where(cand, idx, n), axis=-1)  # n = off-board
                 q_in = q < n
             else:
                 cand = ~ext & (idx < pos0)
-                q = jnp.max(jnp.where(cand, idx, -1))  # -1 = walked off-board
+                q = jnp.max(jnp.where(cand, idx, -1), axis=-1)  # -1 = off-board
                 q_in = q >= 0
-            qc = jnp.clip(q, 0, n - 1)
-            close = q_in & closer[qc]
-            incl_q = q_in & enemy_pinned[qc] & cc[qc]
-            lo = jnp.minimum(pos0, q)
-            hi = jnp.maximum(pos0, q)
-            between = (idx > lo) & (idx < hi)  # all extenders by construction
+            q_onehot = idx == q[:, None]  # all-false lane when q is off-board
+            close = q_in & jnp.any(q_onehot & closer, axis=-1)
+            incl_q = q_in & jnp.any(q_onehot & enemy_pinned & cc, axis=-1)
+            lo = jnp.minimum(pos0[:, 0], q)
+            hi = jnp.maximum(pos0[:, 0], q)
+            between = (idx > lo[:, None]) & (idx < hi[:, None])  # all extenders
             count = hi - lo - 1 + incl_q.astype(jnp.int32)
             success = close & (count >= 2)
-            wall = between | (incl_q & (idx == qc) & q_in)
+            wall = between | (q_onehot & incl_q[:, None])
             return success, wall
 
         s_neg, w_neg = scan_dir(-1)
         s_pos, w_pos = scan_dir(+1)
         # Reference tries -1 first, then +1 (logic.rs:551-554).
         success = s_neg | s_pos
-        wall = jnp.where(s_neg, w_neg, w_pos)
+        wall = jnp.where(s_neg[:, None], w_neg, w_pos)
 
-        # Filter by capturable piece classes (logic.rs:560-565).
-        cap_classes = np.array(
-            [sw.captures.contains(p) for p in PIECE_CLASSES], dtype=bool
+        # Filter by capturable piece classes (logic.rs:560-565) with boolean
+        # algebra instead of an index gather.
+        cap_att, cap_def, cap_king = (
+            sw.captures.contains(p) for p in PIECE_CLASSES
         )
-        cls_ok = jnp.asarray(cap_classes)[jnp.clip(line - 1, 0, 2)] & (line != EMPTY)
-        wall = wall & cls_ok & success & at_edge
+        cls_ok = (
+            ((lanes == CELL_ATT) & cap_att)
+            | ((lanes == CELL_DEF) & cap_def)
+            | ((lanes == CELL_KING) & cap_king)
+        )
+        wall = wall & cls_ok & success[:, None]
 
-        # Scatter the lane back into a 2-D mask.
-        out = jnp.zeros((n, n), dtype=bool)
-        case_masks = jnp.stack(
-            [
-                out.at[0, :].set(wall),
-                out.at[n - 1, :].set(wall),
-                out.at[:, 0].set(wall),
-                out.at[:, n - 1].set(wall),
-            ]
+        # Scatter each lane back to 2-D and select the active case.
+        z = jnp.zeros((n, n), dtype=bool)
+        lane2d = (
+            z.at[0, :].set(wall[0]),
+            z.at[n - 1, :].set(wall[1]),
+            z.at[:, 0].set(wall[2]),
+            z.at[:, n - 1].set(wall[3]),
         )
-        return case_masks[case_c] & at_edge
+        out = z
+        for k in range(4):
+            out = out | (lane2d[k] & (case == k))
+        return out
 
     def _captures(
         self,
@@ -597,13 +599,22 @@ class TaflEnv:
         _, bwd = jax.lax.associative_scan(combine, elems, axis=axis, reverse=True)
         return fwd | bwd
 
-    def _flood(self, seed: jax.Array, allowed: jax.Array) -> jax.Array:
+    def _flood(self, seed: jax.Array, allowed: jax.Array, fail_fn=None) -> jax.Array:
         """Connected component of ``allowed`` containing ``seed`` (4-conn).
 
         Fixpoint of row/column segmented-scan propagation replacing the
         reference's span flood fill (``logic.rs:309-401``): each pass spreads
         the region across whole runs at once, so the loop converges in
         O(#bends of the region) passes instead of O(diameter) dilations.
+
+        ``fail_fn(reach) -> bool`` (optional) marks the fill as already
+        doomed (e.g. the region touched a corner). Once true it stays true
+        under the monotone growth of ``reach``, so the fill's growth is
+        frozen — the lockstep batch's while loop runs only as long as its
+        slowest *undecided* game, the batched analogue of the reference's
+        early-abort flags (``logic.rs:346-374``). The returned partial region
+        still contains the disqualifying tiles, so callers' final fail
+        checks see the same verdict.
         """
         seed = seed & allowed
 
@@ -613,8 +624,11 @@ class TaflEnv:
 
         def body(carry):
             reach, _ = carry
-            new = self._seg_spread(reach, allowed, axis=-1)
-            new = self._seg_spread(new, allowed, axis=-2)
+            a = allowed
+            if fail_fn is not None:
+                a = jnp.where(fail_fn(reach), reach, allowed)
+            new = self._seg_spread(reach, a, axis=-1)
+            new = self._seg_spread(new, a, axis=-2)
             return new, jnp.any(new != reach)
 
         reach, _ = jax.lax.while_loop(cond, body, (seed, jnp.asarray(True)))
@@ -661,17 +675,33 @@ class TaflEnv:
         return ~jnp.any(boundary & ~secure_cell)
 
     def _surround_win(
-        self, board: jax.Array, hostile: jax.Array, king_r: jax.Array, king_c: jax.Array
+        self,
+        board: jax.Array,
+        hostile: jax.Array,
+        king_r: jax.Array,
+        king_c: jax.Array,
+        live: jax.Array,
     ) -> jax.Array:
-        """Attacker enclosure win (``logic.rs:720-734``)."""
+        """Attacker enclosure win (``logic.rs:720-734``).
+
+        ``live`` gates the fill's seed: a game where the outcome cannot apply
+        (defender just moved) contributes zero flood passes to the lockstep
+        batch's shared while loop.
+        """
         rules = self.rules
         assert rules.enclosure_win is not None
         n = self.n
         defenders = (board == CELL_DEF) | (board == CELL_KING)
         allowed = (board == EMPTY) | defenders
-        seed = jnp.zeros((n, n), dtype=bool).at[king_r, king_c].set(True)
-        reach = self._flood(seed, allowed)
-        fail = jnp.any(reach & jnp.asarray(self.corner_mask))  # abort_on_corner
+        seed = (jnp.zeros((n, n), dtype=bool).at[king_r, king_c].set(True)) & live
+
+        fail_mask = jnp.asarray(self.corner_mask)  # abort_on_corner
+        if rules.enclosure_win == EnclosureWinRules.WITHOUT_EDGE_ACCESS:
+            fail_mask = fail_mask | jnp.asarray(self.edge_mask)
+        reach = self._flood(
+            seed, allowed, fail_fn=lambda r: jnp.any(r & fail_mask)
+        )
+        fail = jnp.any(reach & jnp.asarray(self.corner_mask))
         if rules.enclosure_win == EnclosureWinRules.WITHOUT_EDGE_ACCESS:
             fail = fail | jnp.any(reach & jnp.asarray(self.edge_mask))
         boundary = _dilate4(reach) & ~reach & (board == CELL_ATT)
@@ -689,18 +719,35 @@ class TaflEnv:
         return ~fail & all_defenders_in & secure
 
     def _exit_fort(
-        self, board: jax.Array, hostile: jax.Array, king_r: jax.Array, king_c: jax.Array
+        self,
+        board: jax.Array,
+        hostile: jax.Array,
+        king_r: jax.Array,
+        king_c: jax.Array,
+        live: jax.Array,
     ) -> jax.Array:
-        """Exit-fort detection (``logic.rs:572-601``)."""
+        """Exit-fort detection (``logic.rs:572-601``).
+
+        The fill only runs where it can matter (defender just moved AND the
+        king is at an edge — the reference's first check, ``logic.rs:575``);
+        other games get an empty seed and cost the batch nothing.
+        """
         n = self.n
         king_at_edge = (
             (king_r == 0) | (king_r == n - 1) | (king_c == 0) | (king_c == n - 1)
         )
         empty = board == EMPTY
-        seed = jnp.zeros((n, n), dtype=bool).at[king_r, king_c].set(True)
+        king_seed = jnp.zeros((n, n), dtype=bool).at[king_r, king_c].set(True)
+        seed = king_seed & live & king_at_edge
         # Enclosed pieces: king only; fill region is king + connected empties.
-        allowed = empty | seed
-        reach = self._flood(seed, allowed)
+        allowed = empty | king_seed
+        attackers = board == CELL_ATT
+        corner = jnp.asarray(self.corner_mask)
+        reach = self._flood(
+            seed,
+            allowed,
+            fail_fn=lambda r: jnp.any(_dilate4(r) & attackers) | jnp.any(r & corner),
+        )
         dil = _dilate4(reach)
         # Attacker adjacent to (or inside) the region kills the fort: the
         # flood scan hits a piece that can neither enclose nor be enclosed
@@ -811,7 +858,9 @@ class TaflEnv:
         is_attacker = side == int(Side.ATTACKER)
         o_king_captured = is_attacker & king_captured
         if rules.enclosure_win is not None:
-            o_enclosed = is_attacker & self._surround_win(board3, hostile3, king_r, king_c)
+            o_enclosed = is_attacker & self._surround_win(
+                board3, hostile3, king_r, king_c, live=is_attacker
+            )
         else:
             o_enclosed = jnp.asarray(False)
 
@@ -821,7 +870,9 @@ class TaflEnv:
         escape_tile = to_at_edge if rules.edge_escape else to_at_corner
         o_king_escaped = is_defender & (moving_cell == CELL_KING) & escape_tile
         if rules.exit_fort:
-            o_exit_fort = is_defender & self._exit_fort(board3, hostile3, king_r, king_c)
+            o_exit_fort = is_defender & self._exit_fort(
+                board3, hostile3, king_r, king_c, live=is_defender
+            )
         else:
             o_exit_fort = jnp.asarray(False)
 

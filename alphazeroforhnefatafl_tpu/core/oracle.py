@@ -117,6 +117,30 @@ class Outcome:
 
 
 @dataclass(frozen=True)
+class PlayRecord:
+    """A record of a single play (``game/play.rs:105-133``).
+
+    ``str()`` uses the reference's capture notation: the play in ``a8-a11``
+    form, then ``x`` and the captured tiles joined by ``/``.
+    """
+
+    side: Side
+    play: Play
+    captures: frozenset  # of Tile
+    outcome: Optional[Outcome] = None
+
+    def eq_ignore_outcome(self, other: "PlayRecord") -> bool:
+        return self.side == other.side and self.play == other.play
+
+    def __str__(self) -> str:
+        s = str(self.play)
+        if self.captures:
+            tiles = sorted(self.captures)
+            s += "x" + "/".join(fen.tile_to_str(r, c) for r, c in tiles)
+        return s
+
+
+@dataclass(frozen=True)
 class ShortPlayRecord:
     """Play info relevant for repetition detection (``game/game/state.rs:15-19``)."""
 
@@ -801,14 +825,17 @@ class Game:
         board = fen.board_from_fen(starting_board_fen)
         self.logic = GameLogic(rules, board.shape[0])
         self.state = GameState(board=board, side_to_play=rules.starting_side)
-        self.play_history: List[Tuple[Play, Set[Tile]]] = []
+        self.play_history: List[PlayRecord] = []
         self.state_history: List[GameState] = [self.state.copy()]
 
     def do_play(self, play: Play) -> Optional[Outcome]:
+        side = self.state.side_to_play
         new_state, captures, outcome = self.logic.do_play(play, self.state)
         self.state_history.append(self.state)
         self.state = new_state
-        self.play_history.append((play, captures))
+        self.play_history.append(
+            PlayRecord(side, play, frozenset(captures), outcome)
+        )
         return outcome
 
     def undo_last_play(self) -> None:

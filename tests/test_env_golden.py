@@ -164,7 +164,9 @@ def test_exit_fort_kernel_parity():
     def fort(board):
         hostile = env._hostile_boards(board)
         kflat = jnp.argmax((board == CELL_KING).reshape(-1))
-        return env._exit_fort(board, hostile, kflat // 9, kflat % 9)
+        return env._exit_fort(
+            board, hostile, kflat // 9, kflat % 9, live=jnp.asarray(True)
+        )
 
     fort_fn = jax.jit(fort)
     for s in FORT_POSITIVES + FORT_NEGATIVES:

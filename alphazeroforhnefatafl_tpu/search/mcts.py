@@ -258,28 +258,31 @@ class MCTS:
         new_idx = tree.n_nodes
         make_new = ~at_node_leaf
 
-        def write_state(buf, val):
-            cur = jax.tree_util.tree_map(lambda x: x[new_idx], buf)
-            sel = jax.tree_util.tree_map(
-                lambda nv, cv: jnp.where(make_new, nv, cv), val, cur
-            )
-            return jax.tree_util.tree_map(
-                lambda b, v: b.at[new_idx].set(v), buf, sel
-            )
+        # All node-buffer writes use dense one-hot masked selects rather than
+        # .at[] scatters: batched dynamic scatters over the node dim are the
+        # slowest op class on TPU (see _simulate_post).
+        M = tree.expanded.shape[0]
+        K = self.config.max_children
+        at_new = (jnp.arange(M) == new_idx) & make_new  # bool[M]
 
+        def write_state(buf, val):
+            def wr(b, v):
+                m = at_new.reshape((M,) + (1,) * (b.ndim - 1))
+                return jnp.where(m, v[None], b)
+
+            return jax.tree_util.tree_map(wr, buf, val)
+
+        at_parent_slot = (
+            ((jnp.arange(M) == parent) & make_new)[:, None]
+            & (jnp.arange(K) == slot)[None, :]
+        )
         tree = tree.replace(
             state=write_state(tree.state, child_state),
-            terminal=tree.terminal.at[new_idx].set(
-                jnp.where(make_new, child_state.terminated, tree.terminal[new_idx])
+            terminal=jnp.where(at_new, child_state.terminated, tree.terminal),
+            terminal_value=jnp.where(
+                at_new, terminal_value(child_state), tree.terminal_value
             ),
-            terminal_value=tree.terminal_value.at[new_idx].set(
-                jnp.where(
-                    make_new, terminal_value(child_state), tree.terminal_value[new_idx]
-                )
-            ),
-            child_node=tree.child_node.at[parent, slot].set(
-                jnp.where(make_new, new_idx, tree.child_node[parent, slot])
-            ),
+            child_node=jnp.where(at_parent_slot, new_idx, tree.child_node),
             n_nodes=tree.n_nodes + make_new.astype(jnp.int32),
         )
         leaf = jnp.where(at_node_leaf, t["node"], new_idx)
@@ -294,13 +297,26 @@ class MCTS:
         # Expand only newly materialized, non-terminal leaves (terminal nodes
         # are never expanded, mirroring the Es cache short-circuit at
         # src/mcts.py:77-81; depth-capped nodes are already expanded and keep
-        # their edges — their NN value still backs up the path).
+        # their edges — their NN value still backs up the path). Only the
+        # three expansion fields are touched: a whole-tree select here would
+        # copy every [M, K] buffer once per simulation.
         expand = ~t["at_node_leaf"] & ~leaf_terminal
-        expanded_tree = self._expand_node(tree, leaf, priors)
-        tree = jax.tree_util.tree_map(
-            lambda keep, exp: jnp.where(expand, exp, keep),
-            tree,
-            expanded_tree,
+        K = self.config.max_children
+        top_p, top_a = jax.lax.top_k(priors, K)
+        has_mass = top_p > 0
+        top_a = jnp.where(has_mass, top_a, -1).astype(jnp.int32)
+        top_p = jnp.where(has_mass, top_p, 0.0)
+        # One-hot masked writes to the three expansion fields: batched
+        # dynamic gathers/scatters over the node dim are pathologically slow
+        # on TPU, and a whole-tree select would copy every buffer, so a dense
+        # masked where over just these [M, K] fields is the cheapest form.
+        M = tree.expanded.shape[0]
+        at_leaf = jnp.arange(M) == leaf  # bool[M]
+        w = at_leaf & expand
+        tree = tree.replace(
+            expanded=tree.expanded | w,
+            child_action=jnp.where(w[:, None], top_a[None, :], tree.child_action),
+            child_prior=jnp.where(w[:, None], top_p[None, :], tree.child_prior),
         )
 
         v = jnp.where(leaf_terminal, tree.terminal_value[leaf], nn_value)

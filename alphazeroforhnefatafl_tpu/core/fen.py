@@ -19,7 +19,17 @@ import numpy as np
 from .rules import CELL_ATT, CELL_DEF, CELL_KING, EMPTY
 
 _CELL_TO_CHAR = {EMPTY: None, CELL_ATT: "t", CELL_DEF: "T", CELL_KING: "K"}
-_CHAR_TO_CELL = {"t": CELL_ATT, "T": CELL_DEF, "K": CELL_KING}
+# Char serde mirrors ``game/pieces.rs:100-141``: lowercase = attacker,
+# uppercase = defender; t soldier, k king, n knight, c commander, g guard,
+# m mercenary. The reference's bitfield board stores only side + king (the
+# king nibble, ``game/board/state.rs:127-147``), so like it we fold the
+# extended piece types into their side's soldier plane; an attacker "king"
+# char likewise folds to an attacker soldier, since only the defender king is
+# representable.
+_CHAR_TO_CELL = {"t": CELL_ATT, "T": CELL_DEF, "K": CELL_KING, "k": CELL_ATT}
+for _c in "ncgm":
+    _CHAR_TO_CELL[_c] = CELL_ATT
+    _CHAR_TO_CELL[_c.upper()] = CELL_DEF
 
 
 class ParseError(ValueError):

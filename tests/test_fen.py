@@ -91,3 +91,21 @@ def test_play_notation():
         fen.play_from_str("f5-d]")
     with pytest.raises(fen.ParseError):
         fen.play_from_str("!5-d5")
+
+
+def test_extended_piece_chars_fold_to_side_soldiers():
+    """game/pieces.rs:100-141: n/c/g/m parse as their side's piece; the
+    bitfield board stores only side + king (board/state.rs:116-147), so they
+    fold to soldier planes — lowercase attacker, uppercase defender."""
+    from alphazeroforhnefatafl_tpu.core.rules import CELL_ATT, CELL_DEF, CELL_KING
+
+    board = fen.board_from_fen("ncgm1/NCGM1/2K2/5/5")
+    assert (board[0, :4] == CELL_ATT).all()
+    assert (board[1, :4] == CELL_DEF).all()
+    assert board[2, 2] == CELL_KING
+    # Attacker 'k' folds to an attacker soldier (only the defender king is
+    # representable, as in the reference's king nibble).
+    board2 = fen.board_from_fen("k4/5/2K2/5/5")
+    assert board2[0, 0] == CELL_ATT
+    with pytest.raises(fen.ParseError):
+        fen.board_from_fen("x4/5/5/5/5")

@@ -790,11 +790,21 @@ class TaflEnv:
         self-play) to skip the extra ray scan — mirroring the reference's
         ``do_valid_play`` fast path vs ``do_play`` (``logic.rs:782,827``).
         """
-        rules = self.rules
+        action = jnp.asarray(action, dtype=jnp.int32)
+        ap = self._apply_play(state, action, validate=validate)
+        return self._finish_step(state, action, ap)
+
+    def _apply_play(
+        self, state: EnvState, action: jax.Array, *, validate: bool
+    ) -> Dict[str, jax.Array]:
+        """Array phase of a step: decode, move, capture (no outcome logic).
+
+        Returns exactly the quantities the fused pallas step kernel also
+        produces, so :meth:`_finish_step` is shared by both paths.
+        """
         n = self.n
         board = state.board
         side = state.side_to_play
-        action = jnp.asarray(action, dtype=jnp.int32)
 
         per_tile = 4 * (n - 1)
         from_flat = action // per_tile
@@ -827,9 +837,37 @@ class TaflEnv:
 
         cap = self._captures(board2, side, moving_cell, trc, tcc, king_r, king_c)
         board3 = jnp.where(cap, jnp.int8(EMPTY), board2)
+        return dict(
+            valid=valid,
+            moving_cell=moving_cell,
+            trc=trc,
+            tcc=tcc,
+            king_r=king_r,
+            king_c=king_c,
+            board3=board3,
+            cap=cap,
+            king_captured=cap[king_r, king_c],
+            next_mask=None,
+        )
+
+    def _finish_step(
+        self, state: EnvState, action: jax.Array, ap: Dict[str, jax.Array]
+    ) -> Tuple[EnvState, StepInfo]:
+        """Outcome phase of a step: repetition, flood-fill outcomes, priority
+        select, freeze, info — shared by the per-game JAX path and the fused
+        pallas batch path."""
+        rules = self.rules
+        n = self.n
+        side = state.side_to_play
+        valid = ap["valid"]
+        moving_cell = ap["moving_cell"]
+        trc, tcc = ap["trc"], ap["tcc"]
+        king_r, king_c = ap["king_r"], ap["king_c"]
+        board3 = ap["board3"]
+        cap = ap["cap"]
         captured_any = jnp.any(cap)
         n_captures = jnp.sum(cap).astype(jnp.int32)
-        king_captured = cap[king_r, king_c]
+        king_captured = ap["king_captured"]
 
         # --- repetition tracking (state.rs:92-113) ---
         rec = side + 2 * captured_any.astype(jnp.int32) + 4 * action
@@ -885,7 +923,10 @@ class TaflEnv:
 
         # Opponent legal moves on the post-capture board double as the
         # NoPlays check (logic.rs:760-768) and the next root policy mask.
-        next_mask = self.legal_mask_for_side(board3, 1 - side)
+        # The fused kernel path supplies this precomputed.
+        next_mask = ap["next_mask"]
+        if next_mask is None:
+            next_mask = self.legal_mask_for_side(board3, 1 - side)
         o_no_plays = ~jnp.any(next_mask)
 
         # Priority select (the reference's early returns, logic.rs:709-768).
@@ -954,6 +995,39 @@ class TaflEnv:
             invalid=~valid,
         )
         return new_state, info
+
+    def step_batch(
+        self,
+        states: EnvState,
+        actions: jax.Array,
+        *,
+        validate: bool = False,
+        interpret: bool = False,
+    ) -> Tuple[EnvState, StepInfo]:
+        """Batched step through the fused pallas kernel (ops/step_kernel.py).
+
+        Semantically identical to ``vmap(step)`` — the array phase (move,
+        captures, shieldwall, next legal mask) runs as one VMEM-resident
+        kernel program per 128-game block, and the shared
+        :meth:`_finish_step` applies outcomes. ``interpret=True`` runs the
+        kernel in interpreter mode (CPU testing).
+        """
+        from ..ops.step_kernel import step_arrays
+
+        actions = jnp.asarray(actions, jnp.int32)
+        ap = step_arrays(
+            self, states.board, states.side_to_play, actions, interpret=interpret
+        )
+        valid = ap["valid"] & ~states.terminated
+        if validate:
+            from ..ops.legal_mask import batched_legal_mask
+
+            pre = batched_legal_mask(
+                self, states.board, states.side_to_play, interpret=interpret
+            )
+            valid = valid & jnp.take_along_axis(pre, actions[:, None], axis=1)[:, 0]
+        ap = dict(ap, valid=valid)
+        return jax.vmap(self._finish_step)(states, actions, ap)
 
     # ------------------------------------------------------------------
     # Observation (NN input planes)

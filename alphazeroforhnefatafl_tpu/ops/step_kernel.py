@@ -1,0 +1,482 @@
+"""Fused pallas TPU kernel for the tafl env step's array phase.
+
+One kernel program per 128-game block computes, entirely in VMEM: action
+decode, piece move, custodian + shieldwall captures (``get_captures``,
+``/root/reference/game/game/logic.rs:604-699``; ``detect_shieldwall``,
+``logic.rs:471-569``), and the next player's full legal-move ray scan
+(``logic.rs:159-214``). The XLA lowering of the same math is ~1k unfused
+small ops per step whose per-op launch overhead dominates at tafl board
+sizes; fusing them into one program removes that overhead entirely.
+
+Layout and Mosaic constraints follow ops/legal_mask.py: games ride the
+128-wide lane dimension, board cells the sublane dimension (``[N*N, 128]``),
+all boolean math is int32 0/1 arithmetic, everything stays 2-D, and board
+shifts are static sublane slices of a zero-padded cell axis gated by static
+validity columns.
+
+The shieldwall lane walk (sequential in the reference) is computed with
+segmented Hillis-Steele doubling: ``run`` = the maximal chain of
+pinned-enemy "extender" tiles adjacent to the destination along the edge,
+found in log2(N) shift-AND steps; the first non-extender tile then decides
+close/fail exactly as the reference's walk does (see
+``TaflEnv._shieldwall_captures``).
+
+Flood-fill outcomes (surround win, exit fort) stay outside the kernel in
+this version; ``TaflEnv._finish_step`` consumes this kernel's outputs so the
+outcome logic is shared with the pure-JAX path, and the two paths are
+differentially tested against each other.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+
+EMPTY, CELL_ATT, CELL_DEF, CELL_KING = 0, 1, 2, 3
+
+# Direction order everywhere: up, down, left, right (matches core.actions).
+DRDC = ((-1, 0), (1, 0), (0, -1), (0, 1))
+OPP = (1, 0, 3, 2)
+PERPS = ((2, 3), (2, 3), (0, 1), (0, 1))
+
+
+def _static_tables(env) -> Tuple[np.ndarray, dict]:
+    """Pack every static per-cell table into one ``[nn, C]`` int32 array and
+    collect the static python scalars the kernel closes over."""
+    from ..core.rules import KingAttack, KingStrength, PieceType, Side
+
+    n = env.n
+    nn = n * n
+    ndist = n - 1
+    rows, cols = np.divmod(np.arange(nn), n)
+
+    cols_list = []
+    index = {}
+
+    def add(name, arr):
+        index[name] = len(cols_list)
+        cols_list.append(np.asarray(arr, dtype=bool).reshape(nn))
+
+    # Shift validity per (dir, dist): cell + off stays on board, no row wrap.
+    for d, (dr, dc) in enumerate(DRDC):
+        for k in range(1, n):
+            r2, c2 = rows + dr * k, cols + dc * k
+            add(f"valid_{d}_{k}", (r2 >= 0) & (r2 < n) & (c2 >= 0) & (c2 < n))
+
+    # Move-class tables (deduplicated like TaflEnv.legal_mask_for_side).
+    move_cfg_idx = {}
+    move_tables = []
+    move_selectors = []
+    piece_sides = (0, 1, 1)
+    for cls in range(3):
+        cfg = env.cls_cfg[cls]
+        if cfg not in move_cfg_idx:
+            i = len(move_tables)
+            move_cfg_idx[cfg] = i
+            add(f"occupiable_{i}", env._occupiable[cls])
+            add(
+                f"passable_{i}",
+                ~(env.throne_mask & cfg.throne_pass_blocked),
+            )
+            move_tables.append(1 if cfg.slow else n - 1)  # max_dist
+            move_selectors.append([])
+        move_selectors[move_cfg_idx[cfg]].append((cls + 1, piece_sides[cls]))
+
+    # Hostility / geometry tables.
+    for c in range(3):
+        add(f"special_hostile_{c}", env._special_hostile[c])
+    add("corner", env.corner_mask)
+    add("edge", env.edge_mask)
+    add("row0", rows == 0)
+    add("rowN", rows == n - 1)
+    add("col0", cols == 0)
+    add("colN", cols == n - 1)
+    thr_r, thr_c = env.throne
+    thr_flat = thr_r * n + thr_c
+    add("beside_throne", np.abs(rows - thr_r) + np.abs(cols - thr_c) == 1)
+    # is_throne(cell + delta) per direction, and cell == throne - delta.
+    for d, (dr, dc) in enumerate(DRDC):
+        add(f"throne_at_{d}", (rows + dr == thr_r) & (cols + dc == thr_c))
+    sw = env.rules.shieldwall
+    cc = env.corner_mask.reshape(nn) & (bool(sw.corners_may_close) if sw else False)
+    add("cc", cc)
+
+    consts = np.stack(cols_list, axis=1).astype(np.int32)
+
+    rules = env.rules
+    from ..core.rules import PIECE_CLASSES
+
+    static = dict(
+        n=n,
+        thr_flat=thr_flat,
+        king_attacks=rules.king_attack in (KingAttack.ARMED, KingAttack.HAMMER),
+        king_hostile_when_enemy=rules.king_attack
+        in (KingAttack.ARMED, KingAttack.ANVIL),
+        king_strength=rules.king_strength,
+        special_rules_on=(
+            rules.king_strength == KingStrength.STRONG_BY_THRONE
+            and rules.throne_movement.name in ("NO_ENTRY", "KING_ENTRY")
+        ),
+        linnaean=bool(rules.linnaean_capture),
+        sw_on=sw is not None,
+        sw_caps=tuple(sw.captures.contains(p) for p in PIECE_CLASSES)
+        if sw
+        else (False, False, False),
+        edge_hostile=tuple(cfg.hostile_edge for cfg in env.cls_cfg),
+        move_max_dists=tuple(move_tables),
+        move_selectors=tuple(tuple(s) for s in move_selectors),
+        index=index,
+    )
+    return consts, static
+
+
+def _build_step_kernel(static: dict):
+    n = static["n"]
+    nn = n * n
+    ndist = n - 1
+    idx = static["index"]
+    offs = [-n, n, -1, 1]
+    from ..core.rules import KingStrength
+
+    def kernel(board_ref, side_ref, action_ref, consts_ref,
+               board3_ref, cap_ref, mask_ref, scal_ref):
+        board = board_ref[:]  # int32[nn, LANES]
+        side = side_ref[:]  # int32[1, LANES]
+        action = action_ref[:]  # int32[1, LANES]
+        consts = consts_ref[:]  # int32[nn, C]
+
+        def col(name):
+            return consts[:, idx[name]][:, None]  # [nn, 1]
+
+        one = jnp.ones((nn, LANES), jnp.int32)
+        zero = jnp.zeros((nn, LANES), jnp.int32)
+        padz = jnp.zeros((n * ndist, LANES), jnp.int32)
+
+        def shift(x, d, k):
+            """Value of x at cell + offs[d]*k; 0 when off-board/row-wrapped."""
+            xp = jnp.concatenate([padz, x, padz], axis=0)
+            base = n * ndist
+            off = offs[d] * k
+            sl = jax.lax.slice_in_dim(xp, base + off, base + off + nn, axis=0)
+            return sl & col(f"valid_{d}_{k}")
+
+        iota = jax.lax.broadcasted_iota(jnp.int32, (nn, LANES), 0)
+
+        # ---- action decode (core.actions encoding) ----
+        per_tile = 4 * ndist
+        from_flat = action // per_tile
+        rem = action % per_tile
+        d_lane = rem // ndist
+        dist = rem % ndist + 1
+        fr, fc = from_flat // n, from_flat % n
+        dr = jnp.where(d_lane == 0, -1, jnp.where(d_lane == 1, 1, 0))
+        dc = jnp.where(d_lane == 2, -1, jnp.where(d_lane == 3, 1, 0))
+        tr, tc = fr + dr * dist, fc + dc * dist
+        to_in_b = ((tr >= 0) & (tr < n) & (tc >= 0) & (tc < n)).astype(jnp.int32)
+        trc = jnp.clip(tr, 0, n - 1)
+        tcc = jnp.clip(tc, 0, n - 1)
+        to_flat = trc * n + tcc
+
+        onehot_from = (iota == from_flat).astype(jnp.int32)
+        onehot_to = (iota == to_flat).astype(jnp.int32)
+        moving = jnp.sum(board * onehot_from, axis=0, keepdims=True)  # [1, LANES]
+        moving_side = jnp.where(moving == CELL_ATT, 0, 1)
+        valid_basic = to_in_b & (moving != EMPTY) & (moving_side == side)
+
+        # ---- move the piece ----
+        board2 = board * (1 - onehot_from)
+        board2 = board2 * (1 - onehot_to) + moving * onehot_to
+
+        # ---- king position on board2 ----
+        king1h = (board2 == CELL_KING).astype(jnp.int32)
+        kflat = jnp.sum(iota * king1h, axis=0, keepdims=True)  # [1, LANES]
+
+        # ---- hostility fields (logic.rs:76-99) ----
+        empty2 = (board2 == EMPTY).astype(jnp.int32)
+        is_att2 = (board2 == CELL_ATT).astype(jnp.int32)
+        is_def2 = (board2 == CELL_DEF).astype(jnp.int32)
+        is_king2 = king1h
+        att_enemy = is_def2 | (is_king2 if static["king_hostile_when_enemy"] else zero)
+        def_enemy = is_att2
+        hostile = [
+            att_enemy | (empty2 & col("special_hostile_0")),
+            def_enemy | (empty2 & col("special_hostile_1")),
+            def_enemy | (empty2 & col("special_hostile_2")),
+        ]
+
+        # ---- king strength (logic.rs:225-245) ----
+        king_on_throne = (kflat == static["thr_flat"]).astype(jnp.int32)
+        king_beside = jnp.sum(
+            (iota == kflat).astype(jnp.int32) * col("beside_throne"),
+            axis=0,
+            keepdims=True,
+        )
+        ks = static["king_strength"]
+        if ks == KingStrength.STRONG:
+            king_strong = jnp.ones((1, LANES), jnp.int32)
+        elif ks == KingStrength.WEAK:
+            king_strong = jnp.zeros((1, LANES), jnp.int32)
+        else:
+            king_strong = king_on_throne | king_beside
+
+        may_attack = (moving != CELL_KING).astype(jnp.int32) | int(
+            static["king_attacks"]
+        )
+
+        # ---- Linnaean precondition (logic.rs:859-879) ----
+        if static["linnaean"]:
+            thr1h = (iota == static["thr_flat"]).astype(jnp.int32)
+            thr_nbr = zero
+            for d2 in range(4):
+                thr_nbr = thr_nbr | shift(thr1h, OPP[d2], 1)
+            linn_cnt = jnp.sum(hostile[2] * thr_nbr, axis=0, keepdims=True)
+            linn_ok = (
+                (side == 0).astype(jnp.int32) & king_on_throne & (linn_cnt == 3)
+            )
+        else:
+            linn_ok = jnp.zeros((1, LANES), jnp.int32)
+
+        eh = static["edge_hostile"]
+
+        def hostile_at(cls_i, d, k):
+            """hostile[cls] at cell + offs[d]*k; off-board = edge hostility."""
+            v = shift(hostile[cls_i], d, k)
+            if eh[cls_i]:
+                v = v | (1 - col(f"valid_{d}_{k}"))
+            return v
+
+        # ---- custodian captures (logic.rs:604-699) ----
+        cap = zero
+        q_is_def = (is_def2 | is_king2)
+        enemy_f = jnp.where(side == 0, q_is_def, is_att2)
+        for dgt in range(4):
+            nbr = shift(onehot_to, OPP[dgt], 1)  # cells == to + delta
+            far_att = hostile_at(0, dgt, 1)
+            far_def = hostile_at(1, dgt, 1)
+            far_king = hostile_at(2, dgt, 1)
+            far_h = is_att2 * far_att + is_def2 * far_def + is_king2 * far_king
+            p1 = hostile_at(2, PERPS[dgt][0], 1)
+            p2 = hostile_at(2, PERPS[dgt][1], 1)
+            perp_h = p1 & p2
+            king_cust = far_king & ((1 - king_strong) | perp_h)
+            if static["special_rules_on"]:
+                all_nbr = one
+                for d2 in range(4):
+                    oob = 1 - col(f"valid_{d2}_1")
+                    all_nbr = all_nbr & (
+                        oob | col(f"throne_at_{d2}") | shift(hostile[2], d2, 1)
+                    )
+                king_special = col("beside_throne") & all_nbr
+            else:
+                king_special = zero
+            king_capt = king_special | king_cust
+            if static["linnaean"]:
+                linn_here = linn_ok & col(f"throne_at_{dgt}") & is_def2
+            else:
+                linn_here = zero
+            soldier_capt = far_h | linn_here
+            captured = (
+                enemy_f
+                & nbr
+                & may_attack
+                & jnp.where(is_king2 != 0, king_capt, soldier_capt)
+            )
+            cap = cap | captured
+
+        # ---- shieldwall (logic.rs:471-569) ----
+        if static["sw_on"]:
+            occ = 1 - empty2
+            cell_side = jnp.where(board2 == CELL_ATT, 0, 1)
+            friendly = occ & (cell_side == side).astype(jnp.int32)
+            enemy2 = occ & (cell_side != side).astype(jnp.int32)
+            cc = col("cc")
+
+            def lane_fields(pin_dir):
+                pin = shift(board2, pin_dir, 1)
+                pin_occ = (pin != EMPTY).astype(jnp.int32)
+                pin_side = jnp.where(pin == CELL_ATT, 0, 1)
+                return enemy2 & pin_occ & (pin_side == side).astype(jnp.int32)
+
+            # Pinned-enemy fields per edge lane (pin points off-edge).
+            ep_h = (col("row0") & lane_fields(1)) | (col("rowN") & lane_fields(0))
+            ep_v = (col("col0") & lane_fields(3)) | (col("colN") & lane_fields(2))
+            row_lane = col("row0") | col("rowN")
+            col_lane = col("col0") | col("colN")
+
+            capA, capD, capK = static["sw_caps"]
+            cls_ok = (
+                (is_att2 if capA else zero)
+                | (is_def2 if capD else zero)
+                | (is_king2 if capK else zero)
+            )
+
+            to_row_lane = jnp.sum(onehot_to * row_lane, axis=0, keepdims=True)
+            to_col_lane = jnp.sum(onehot_to * col_lane, axis=0, keepdims=True)
+            v_on = to_col_lane & (1 - to_row_lane)  # case priority: rows first
+
+            def sw_scan(ep, lane, neg_dir, pos_dir, seed_gate):
+                """Both-direction wall scan along one lane family."""
+                ext = ep & (1 - cc) & lane
+                closer = (friendly | ((1 - occ) & cc) | (ep & cc)) & lane
+                to_lane = onehot_to * lane * seed_gate
+
+                def one_dir(d_walk):
+                    # d_walk: direction index whose offset walks the lane.
+                    seed = shift(to_lane, OPP[d_walk], 1) & ext
+                    r, W = seed, ext
+                    s = 1
+                    while s <= ndist:
+                        r = r | (shift(r, OPP[d_walk], s) & W)
+                        W = W & shift(W, OPP[d_walk], s)
+                        s *= 2
+                    q = shift(r | to_lane, OPP[d_walk], 1) & (1 - ext) & lane
+                    close = jnp.sum(q & closer, axis=0, keepdims=True)
+                    incl = jnp.sum(q & ep & cc, axis=0, keepdims=True)
+                    cnt = jnp.sum(r, axis=0, keepdims=True) + incl
+                    succ = (close > 0).astype(jnp.int32) & (cnt >= 2).astype(
+                        jnp.int32
+                    )
+                    wall = r | (q & ep & cc)
+                    return succ, wall
+
+                s_neg, w_neg = one_dir(neg_dir)
+                s_pos, w_pos = one_dir(pos_dir)
+                succ = s_neg | s_pos
+                wall = jnp.where(s_neg != 0, w_neg, w_pos)
+                return wall & cls_ok & succ
+
+            sw_mask = sw_scan(ep_h, row_lane, 2, 3, one[:1] * 0 + 1) | sw_scan(
+                ep_v, col_lane, 0, 1, v_on
+            )
+            cap = cap | sw_mask
+
+        board3 = board2 * (1 - cap)
+
+        # ---- next player's legal mask on board3 (ops/legal_mask.py) ----
+        side2 = 1 - side
+        empty3 = (board3 == EMPTY).astype(jnp.int32)
+        sel = []
+        for pairs in static["move_selectors"]:
+            s = zero
+            for cell_code, side_val in pairs:
+                s = s | (
+                    (board3 == cell_code) & (side2 == side_val)
+                ).astype(jnp.int32)
+            sel.append(s)
+        for i, max_dist in enumerate(static["move_max_dists"]):
+            if i == 0:
+                dest_ps, pass_ps = [], []
+            dest_ps.append(empty3 & col(f"occupiable_{i}"))
+            pass_ps.append(empty3 & col(f"passable_{i}"))
+        for d in range(4):
+            cums = [one] * len(sel)
+            for k in range(1, n):
+                v = zero
+                for i in range(len(sel)):
+                    if k > static["move_max_dists"][i]:
+                        continue
+                    v = v | (shift(dest_ps[i], d, k) & cums[i] & sel[i])
+                    cums[i] = cums[i] & shift(pass_ps[i], d, k)
+                mask_ref[pl.ds((d * ndist + (k - 1)) * nn, nn), :] = v
+
+        board3_ref[:] = board3
+        cap_ref[:] = cap
+
+        # ---- per-game scalars ----
+        to_at_edge = jnp.sum(onehot_to * col("edge"), axis=0, keepdims=True)
+        to_at_corner = jnp.sum(onehot_to * col("corner"), axis=0, keepdims=True)
+        king_captured = jnp.sum(cap * king1h, axis=0, keepdims=True)
+        scal = jnp.concatenate(
+            [
+                valid_basic,
+                moving,
+                trc,
+                tcc,
+                kflat,
+                king_captured,
+                to_at_edge,
+                to_at_corner,
+            ],
+            axis=0,
+        )
+        scal_ref[:] = scal
+
+    return kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _make_step_fn(env, interpret: bool):
+    n = env.n
+    nn, ndist, A = n * n, n - 1, n * n * 4 * (n - 1)
+    consts_np, static = _static_tables(env)
+    kernel = _build_step_kernel(static)
+    C = consts_np.shape[1]
+
+    def batched(boards, sides, actions):
+        B = boards.shape[0]
+        Bp = (B + LANES - 1) // LANES * LANES
+        bt = jnp.pad(boards.reshape(B, nn).T.astype(jnp.int32), ((0, 0), (0, Bp - B)))
+        st = jnp.pad(sides.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+        at = jnp.pad(actions.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+        board3, cap, mask, scal = pl.pallas_call(
+            kernel,
+            grid=(Bp // LANES,),
+            in_specs=[
+                pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nn, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((A, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+            ],
+            interpret=interpret,
+        )(bt, st, at, jnp.asarray(consts_np))
+        board3 = board3.T[:B].reshape(B, n, n).astype(jnp.int8)
+        cap = (cap.T[:B] != 0).reshape(B, n, n)
+        mask = (mask.T[:B] != 0).reshape(B, 4, ndist, nn)
+        next_mask = mask.transpose(0, 3, 1, 2).reshape(B, A)
+        scal = scal.T[:B]
+        kflat = scal[:, 4]
+        return dict(
+            valid=scal[:, 0] != 0,
+            moving_cell=scal[:, 1].astype(jnp.int8),
+            trc=scal[:, 2],
+            tcc=scal[:, 3],
+            king_r=kflat // n,
+            king_c=kflat % n,
+            king_captured=scal[:, 5] != 0,
+            board3=board3,
+            cap=cap,
+            next_mask=next_mask,
+        )
+
+    return batched
+
+
+def step_arrays(env, boards, sides, actions, *, interpret: bool = False) -> Dict:
+    """Fused array phase of a batch of env steps.
+
+    Returns the same dict as ``vmap(TaflEnv._apply_play)`` plus the next
+    player's legal mask; feed it to ``vmap(TaflEnv._finish_step)``. ``valid``
+    does NOT include the caller's terminated / validate checks.
+    """
+    return _make_step_fn(env, interpret)(boards, sides, actions)

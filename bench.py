@@ -22,7 +22,7 @@ from alphazeroforhnefatafl_tpu.core.env import make_env
 TARGET_STEPS_PER_S = 100_000.0
 
 
-def build_rollout(env, batch: int, chunk: int):
+def build_rollout(env, batch: int, chunk: int, use_kernel: bool = True):
     def policy_step(carry, _):
         # The legal mask is carried from the previous step's info — the env
         # already computes the next player's mask for the NoPlays outcome
@@ -31,9 +31,14 @@ def build_rollout(env, batch: int, chunk: int):
         rng, k = jax.random.split(rng)
         noise = jax.random.uniform(k, mask.shape, dtype=jnp.float32)
         action = jnp.argmax(mask * noise, axis=-1).astype(jnp.int32)
-        state, info = jax.vmap(lambda s, a: env.step(s, a, validate=False))(
-            state, action
-        )
+        if use_kernel:
+            # Fused pallas step: move+captures+shieldwall+next-mask in one
+            # VMEM-resident program per 128-game block (ops/step_kernel.py).
+            state, info = env.step_batch(state, action)
+        else:
+            state, info = jax.vmap(lambda s, a: env.step(s, a, validate=False))(
+                state, action
+            )
         # Auto-reset finished games so the batch stays saturated.
         fresh = env.reset_batch(batch)
         fresh_mask = jax.vmap(env.legal_mask)(fresh)
@@ -70,7 +75,8 @@ def main():
     state = env.reset_batch(batch)
     mask = jax.jit(jax.vmap(env.legal_mask))(state)
     rng = jax.random.PRNGKey(0)
-    rollout = build_rollout(env, batch, chunk)
+    # The fused pallas step kernel needs a real TPU (or interpret mode).
+    rollout = build_rollout(env, batch, chunk, use_kernel=on_accel)
 
     # Warmup / compile. np.asarray fetches the checksum to the host — a true
     # sync even where block_until_ready is a no-op (tunneled backends).

@@ -1029,6 +1029,17 @@ class TaflEnv:
         ap = dict(ap, valid=valid)
         return jax.vmap(self._finish_step)(states, actions, ap)
 
+    def step_many(
+        self, states: EnvState, actions: jax.Array, *, validate: bool = False
+    ) -> Tuple[EnvState, StepInfo]:
+        """Batched step with automatic backend dispatch: the fused pallas
+        kernel on TPU, ``vmap(step)`` elsewhere (CPU tests, interpret-free)."""
+        if jax.devices()[0].platform == "tpu":
+            return self.step_batch(states, actions, validate=validate)
+        return jax.vmap(lambda s, a: self.step(s, a, validate=validate))(
+            states, actions
+        )
+
     # ------------------------------------------------------------------
     # Observation (NN input planes)
     # ------------------------------------------------------------------

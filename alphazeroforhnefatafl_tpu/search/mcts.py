@@ -234,9 +234,16 @@ class MCTS:
 
     # -------------------- one simulation wave --------------------
 
-    def _simulate_pre(self, tree: Tree):
-        """Per-game phase 1: traverse, materialize the leaf node, and return
-        (updated tree, traversal record, leaf node index, leaf legal mask).
+    def _gather_parent(self, tree: Tree, t):
+        """Per-game: the traversal's leaf-edge parent state and action."""
+        parent, slot = t["leaf_parent"], t["leaf_slot"]
+        parent_state = jax.tree_util.tree_map(lambda x: x[parent], tree.state)
+        action = tree.child_action[parent, slot]
+        return parent_state, jnp.maximum(action, 0)
+
+    def _materialize(self, tree: Tree, t, child_state: EnvState):
+        """Per-game phase 1b: write the stepped child into the tree and
+        return (updated tree, leaf node index).
 
         The leaf's legal mask comes for free from the materializing env step
         (``info.legal_mask`` — the env already runs the next player's ray
@@ -244,17 +251,8 @@ class MCTS:
         only meaningful for newly materialized leaves; the other leaf kinds
         (terminal nodes, depth-capped nodes) are never (re-)expanded.
         """
-        t = self._traverse(tree)
         at_node_leaf = t["at_node_leaf"]
         parent, slot = t["leaf_parent"], t["leaf_slot"]
-
-        # Materialize the new child by stepping the env (only meaningful when
-        # we stopped at an edge; masked otherwise).
-        parent_state = jax.tree_util.tree_map(lambda x: x[parent], tree.state)
-        action = tree.child_action[parent, slot]
-        child_state, step_info = self.env.step(
-            parent_state, jnp.maximum(action, 0), validate=False
-        )
         new_idx = tree.n_nodes
         make_new = ~at_node_leaf
 
@@ -286,7 +284,7 @@ class MCTS:
             n_nodes=tree.n_nodes + make_new.astype(jnp.int32),
         )
         leaf = jnp.where(at_node_leaf, t["node"], new_idx)
-        return tree, t, leaf, step_info.legal_mask
+        return tree, leaf
 
     def _simulate_post(
         self, tree: Tree, t, leaf: jax.Array, priors: jax.Array, nn_value: jax.Array
@@ -375,7 +373,13 @@ class MCTS:
 
         def sim_step(carry, _):
             tree = carry
-            tree, t, leaf, leaf_legal = jax.vmap(self._simulate_pre)(tree)
+            t = jax.vmap(self._traverse)(tree)
+            parent_state, actions = jax.vmap(self._gather_parent)(tree, t)
+            # Batched env step — the fused pallas kernel on TPU. Its
+            # info.legal_mask is the leaf's mask for prior computation.
+            child_state, step_info = self.env.step_many(parent_state, actions)
+            leaf_legal = step_info.legal_mask
+            tree, leaf = jax.vmap(self._materialize)(tree, t, child_state)
             leaf_state = jax.vmap(
                 lambda tr, lf: jax.tree_util.tree_map(lambda x: x[lf], tr.state)
             )(tree, leaf)

@@ -72,9 +72,7 @@ def play_match(
         actions = select_actions(
             result.action_probs, legal, jnp.zeros((B,)), rng
         )
-        new_states, _ = jax.vmap(lambda s, a: env.step(s, a, validate=False))(
-            states, actions
-        )
+        new_states, _ = env.step_many(states, actions)
         return new_states
 
     move = jax.jit(move)

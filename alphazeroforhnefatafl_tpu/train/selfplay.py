@@ -75,9 +75,7 @@ class SelfPlayActor:
             legal = jax.vmap(env.legal_mask)(states)
             result = self.mcts.search(params, states, legal, r_search, add_noise=True)
             actions = select_actions(result.action_probs, legal, temps, r_sample)
-            new_states, info = jax.vmap(
-                lambda s, a: env.step(s, a, validate=False)
-            )(states, actions)
+            new_states, info = env.step_many(states, actions)
             # Sparse top-K policy target.
             top_p, top_a = jax.lax.top_k(result.action_probs, config.policy_k)
             top_a = jnp.where(top_p > 0, top_a, -1)

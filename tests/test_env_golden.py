@@ -219,3 +219,34 @@ def test_dense_board_parity(preset):
             picks = rng.choice(len(plays), min(plays_per_side, len(plays)), replace=False)
             for i in picks:
                 h.check_play(board, side, plays[int(i)])
+
+
+# ---------------------------------------------------------------------------
+# Large/Huge board sizes (the reference's Large/HugeBasicGame storage classes
+# support 15x15 and 21x21 boards, game/game/mod.rs:119-125 /
+# game/board/state.rs:332-340; our planes engine is size-generic)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [15, 21])
+def test_large_board_differential(n):
+    rules = PRESETS["copenhagen"][0]
+    rng = np.random.RandomState(n)
+    # A sparse random position with the king near the center.
+    board = np.zeros((n, n), np.int8)
+    cells = rng.rand(n, n) < 0.12
+    sides = rng.rand(n, n) < 0.5
+    board[cells & sides] = CELL_ATT
+    board[cells & ~sides] = CELL_DEF
+    for r, c in [(0, 0), (0, n - 1), (n - 1, 0), (n - 1, n - 1), (n // 2, n // 2)]:
+        board[r, c] = EMPTY
+    board[n // 2, n // 2 - 1] = CELL_KING
+
+    h = ParityHarness(rules, n)
+    for side in (Side.ATTACKER, Side.DEFENDER):
+        h.check_mask(board, side)
+        ostate = GameState.from_fen(fen.board_to_fen(board), side)
+        plays = h.logic.all_plays(ostate)
+        picks = rng.choice(len(plays), min(4, len(plays)), replace=False)
+        for i in picks:
+            h.check_play(board, side, plays[int(i)])

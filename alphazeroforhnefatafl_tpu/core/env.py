@@ -848,6 +848,8 @@ class TaflEnv:
             cap=cap,
             king_captured=cap[king_r, king_c],
             next_mask=None,
+            o_enclosed=None,
+            o_exit_fort=None,
         )
 
     def _finish_step(
@@ -887,7 +889,7 @@ class TaflEnv:
         psc = state.plays_since_capture + (~captured_any).astype(jnp.int32)
 
         # --- outcome (logic.rs:702-771), evaluated on board3 ---
-        hostile3 = self._hostile_boards(board3)
+        # Flood-fill outcomes come precomputed from the fused kernel path.
         n_att = jnp.sum(board3 == CELL_ATT)
         n_def = jnp.sum((board3 == CELL_DEF) | (board3 == CELL_KING))
         other_count = jnp.where(side == int(Side.ATTACKER), n_def, n_att)
@@ -896,9 +898,16 @@ class TaflEnv:
         is_attacker = side == int(Side.ATTACKER)
         o_king_captured = is_attacker & king_captured
         if rules.enclosure_win is not None:
-            o_enclosed = is_attacker & self._surround_win(
-                board3, hostile3, king_r, king_c, live=is_attacker
-            )
+            if ap["o_enclosed"] is not None:
+                o_enclosed = is_attacker & ap["o_enclosed"]
+            else:
+                o_enclosed = is_attacker & self._surround_win(
+                    board3,
+                    self._hostile_boards(board3),
+                    king_r,
+                    king_c,
+                    live=is_attacker,
+                )
         else:
             o_enclosed = jnp.asarray(False)
 
@@ -908,9 +917,16 @@ class TaflEnv:
         escape_tile = to_at_edge if rules.edge_escape else to_at_corner
         o_king_escaped = is_defender & (moving_cell == CELL_KING) & escape_tile
         if rules.exit_fort:
-            o_exit_fort = is_defender & self._exit_fort(
-                board3, hostile3, king_r, king_c, live=is_defender
-            )
+            if ap["o_exit_fort"] is not None:
+                o_exit_fort = is_defender & ap["o_exit_fort"]
+            else:
+                o_exit_fort = is_defender & self._exit_fort(
+                    board3,
+                    self._hostile_boards(board3),
+                    king_r,
+                    king_c,
+                    live=is_defender,
+                )
         else:
             o_exit_fort = jnp.asarray(False)
 

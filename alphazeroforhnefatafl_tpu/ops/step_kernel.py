@@ -94,6 +94,7 @@ def _static_tables(env) -> Tuple[np.ndarray, dict]:
     # Hostility / geometry tables.
     for c in range(3):
         add(f"special_hostile_{c}", env._special_hostile[c])
+        add(f"cls_occ_{c}", env._occupiable[c])
     add("corner", env.corner_mask)
     add("edge", env.edge_mask)
     add("row0", rows == 0)
@@ -127,6 +128,8 @@ def _static_tables(env) -> Tuple[np.ndarray, dict]:
             and rules.throne_movement.name in ("NO_ENTRY", "KING_ENTRY")
         ),
         linnaean=bool(rules.linnaean_capture),
+        enclosure_win=rules.enclosure_win,
+        exit_fort=bool(rules.exit_fort),
         sw_on=sw is not None,
         sw_caps=tuple(sw.captures.contains(p) for p in PIECE_CLASSES)
         if sw
@@ -361,6 +364,150 @@ def _build_step_kernel(static: dict):
 
         board3 = board2 * (1 - cap)
 
+        # ---- flood-fill outcomes on board3 (logic.rs:309-463, 572-601) ----
+        empty3 = (board3 == EMPTY).astype(jnp.int32)
+        is_att3 = (board3 == CELL_ATT).astype(jnp.int32)
+        is_def3 = (board3 == CELL_DEF).astype(jnp.int32)
+        is_king3 = (board3 == CELL_KING).astype(jnp.int32)
+        att_enemy3 = is_def3 | (
+            is_king3 if static["king_hostile_when_enemy"] else zero
+        )
+        def_enemy3 = is_att3
+        hostile3 = [
+            att_enemy3 | (empty3 & col("special_hostile_0")),
+            def_enemy3 | (empty3 & col("special_hostile_1")),
+            def_enemy3 | (empty3 & col("special_hostile_2")),
+        ]
+        king1h2 = (iota == kflat).astype(jnp.int32)  # board2 king position
+
+        def dil4(x):
+            return x | shift(x, 0, 1) | shift(x, 1, 1) | shift(x, 2, 1) | shift(x, 3, 1)
+
+        def spread_dir(r, a, d):
+            """Segmented reach propagation along direction d (doubling)."""
+            W = a
+            s = 1
+            while s <= ndist:
+                r = r | (shift(r, d, s) & W)
+                W = W & shift(W, d, s)
+                s *= 2
+            return r
+
+        def flood(seed, allowed, fail_of):
+            """Connected component with freeze-on-fail (TaflEnv._flood)."""
+            seed = seed & allowed
+
+            def cond(c):
+                return c[1]
+
+            def body(c):
+                reach, _ = c
+                failed = fail_of(reach)  # [1, LANES]
+                a = allowed * (1 - failed) + reach * failed
+                new = reach
+                for d in range(4):
+                    new = spread_dir(new, a, d)
+                changed = jnp.any(new != reach)
+                return new, changed
+
+            reach, _ = jax.lax.while_loop(
+                cond, body, (seed, jnp.asarray(True))
+            )
+            return reach
+
+        def any_cells(x):
+            return (jnp.sum(x, axis=0, keepdims=True) > 0).astype(jnp.int32)
+
+        def secure(boundary, region, b_cls, hs_cls, inside_safe, outside_safe):
+            """TaflEnv._enclosure_secure as cell fields (logic.rs:408-463)."""
+            if inside_safe and outside_safe:
+                return jnp.ones((1, LANES), jnp.int32)
+            special_h = col(f"special_hostile_{b_cls}") & one
+            tile_h = hostile3[b_cls]
+            occupied3 = 1 - empty3
+            occupiable_hs = col(f"cls_occ_{hs_cls}") & one
+            axis_safe = []
+            for axis_dirs in ((0, 1), (2, 3)):
+                dir_safe = zero
+                for d in axis_dirs:
+                    in_b = col(f"valid_{d}_1") & one
+                    n_inside = shift(region, d, 1)
+                    n_special = shift(special_h, d, 1)
+                    n_tile_h = shift(tile_h, d, 1)
+                    n_occ = shift(occupied3, d, 1)
+                    n_occupiable = shift(occupiable_hs, d, 1)
+                    known = (n_inside if inside_safe else zero) | (
+                        (1 - n_inside) if outside_safe else zero
+                    )
+                    safe_a = known & (1 - n_special)
+                    safe_b = (1 - n_tile_h) & (n_occ | (1 - n_occupiable))
+                    oob_safe = (1 - in_b) * (
+                        0 if static["edge_hostile"][b_cls] else 1
+                    )
+                    dir_safe = dir_safe | (in_b & (safe_a | safe_b)) | oob_safe
+                axis_safe.append(dir_safe)
+            secure_cell = axis_safe[0] & axis_safe[1]
+            return 1 - any_cells(boundary & (1 - secure_cell))
+
+        if static["enclosure_win"] is not None:
+            # Attacker surround win (logic.rs:720-734).
+            live_a = (side == 0).astype(jnp.int32)
+            defenders3 = is_def3 | is_king3
+            allowed_s = empty3 | defenders3
+            fail_mask = col("corner") & one
+            if static["enclosure_win"].name == "WITHOUT_EDGE_ACCESS":
+                fail_mask = fail_mask | col("edge")
+            reach_s = flood(
+                king1h2 * live_a,
+                allowed_s,
+                lambda r: any_cells(r & fail_mask),
+            )
+            fail_s = any_cells(reach_s & col("corner"))
+            if static["enclosure_win"].name == "WITHOUT_EDGE_ACCESS":
+                fail_s = fail_s | any_cells(reach_s & col("edge"))
+            boundary_s = dil4(reach_s) & (1 - reach_s) & is_att3
+            all_def_in = (
+                jnp.sum(reach_s & defenders3, axis=0, keepdims=True)
+                == jnp.sum(defenders3, axis=0, keepdims=True)
+            ).astype(jnp.int32)
+            sec_s = secure(boundary_s, reach_s, 0, 1, False, True)
+            o_enclosed = (1 - fail_s) & all_def_in & sec_s
+        else:
+            o_enclosed = jnp.zeros((1, LANES), jnp.int32)
+
+        if static["exit_fort"]:
+            # Defender exit fort (logic.rs:572-601).
+            live_d = (side == 1).astype(jnp.int32)
+            king_at_edge = jnp.sum(king1h2 * col("edge"), axis=0, keepdims=True)
+            allowed_f = empty3 | king1h2
+            attackers3 = is_att3
+            reach_f = flood(
+                king1h2 * live_d * king_at_edge,
+                allowed_f,
+                lambda r: any_cells(dil4(r) & attackers3)
+                | any_cells(r & col("corner")),
+            )
+            dil_f = dil4(reach_f)
+            fail_neither = any_cells(dil_f & attackers3)
+            fail_corner = any_cells(reach_f & col("corner"))
+            boundary_f = dil_f & (1 - reach_f) & is_def3
+            king_free = zero[:1]
+            for d in range(4):
+                king_free = king_free | jnp.sum(
+                    king1h2 & shift(empty3, d, 1), axis=0, keepdims=True
+                )
+            king_free = (king_free > 0).astype(jnp.int32)
+            sec_f = secure(boundary_f, reach_f, 1, 0, True, False)
+            o_exit_fort = (
+                king_at_edge
+                & (1 - fail_neither)
+                & (1 - fail_corner)
+                & king_free
+                & sec_f
+            )
+        else:
+            o_exit_fort = jnp.zeros((1, LANES), jnp.int32)
+
         # ---- next player's legal mask on board3 (ops/legal_mask.py) ----
         side2 = 1 - side
         empty3 = (board3 == EMPTY).astype(jnp.int32)
@@ -405,6 +552,8 @@ def _build_step_kernel(static: dict):
                 king_captured,
                 to_at_edge,
                 to_at_corner,
+                o_enclosed,
+                o_exit_fort,
             ],
             axis=0,
         )
@@ -440,13 +589,13 @@ def _make_step_fn(env, interpret: bool):
                 pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((10, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((A, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((8, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((10, Bp), jnp.int32),
             ],
             interpret=interpret,
         )(bt, st, at, jnp.asarray(consts_np))
@@ -467,6 +616,8 @@ def _make_step_fn(env, interpret: bool):
             board3=board3,
             cap=cap,
             next_mask=next_mask,
+            o_enclosed=scal[:, 8] != 0,
+            o_exit_fort=scal[:, 9] != 0,
         )
 
     return batched

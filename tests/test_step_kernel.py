@@ -96,3 +96,62 @@ def test_step_batch_shieldwall_fixture():
     _, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))(states, action)
     caps = {tuple(t) for t in np.argwhere(np.asarray(info.captures[0]))}
     assert caps == {(5, 8), (6, 8), (7, 8)}
+
+
+def test_step_batch_exit_fort_fixture():
+    """A defender move completing a bulge exit fort (logic.rs:1215-1233)
+    through the fused kernel must end the game with an ExitFort win."""
+    from alphazeroforhnefatafl_tpu.core import actions as A
+    from alphazeroforhnefatafl_tpu.core.env import TaflEnv, WIN_DEFENDER
+    from alphazeroforhnefatafl_tpu.core.rules import COPENHAGEN, WinReason
+
+    env = TaflEnv(COPENHAGEN, "4t4/1t7/9/9/5T3/6TTT/5T2K/6TTT/9")
+    state = env.reset().replace(side_to_play=jnp.int32(1))
+    states = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), state)
+    action = jnp.asarray([A.encode_from_tiles(9, (4, 5), (5, 5))], jnp.int32)
+    ns, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))(states, action)
+    assert not bool(info.invalid[0])
+    assert int(ns.result[0]) == WIN_DEFENDER
+    assert int(ns.reason[0]) == int(WinReason.EXIT_FORT)
+
+
+def test_step_batch_dense_boards():
+    """Dense random boards fire captures/shieldwalls/flood-fill outcomes far
+    more often than playouts from the start position; the kernel must match
+    vmap(step) on them field-for-field."""
+    from tests.test_env_golden import random_dense_board
+
+    env = make_env("copenhagen")
+    n = env.n
+    rng = np.random.RandomState(7)
+    B = 8
+    vstep = jax.jit(
+        lambda s, a: jax.vmap(lambda ss, aa: env.step(ss, aa, validate=False))(s, a)
+    )
+    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))
+    mask_fn = jax.jit(jax.vmap(env.legal_mask))
+
+    for round_i in range(4):
+        boards = np.stack([random_dense_board(rng, n) for _ in range(B)])
+        side = rng.randint(0, 2)
+        base = env.reset_batch(B)
+        states = base.replace(
+            board=jnp.asarray(boards, jnp.int8),
+            side_to_play=jnp.full((B,), side, jnp.int32),
+        )
+        m = np.asarray(mask_fn(states))
+        acts = jnp.asarray(
+            [
+                int(rng.choice(np.nonzero(m[b])[0])) if m[b].any() else 0
+                for b in range(B)
+            ],
+            jnp.int32,
+        )
+        s_ref, i_ref = vstep(states, acts)
+        s_got, i_got = kstep(states, acts)
+        for name in STATE_FIELDS:
+            a, b = np.asarray(getattr(s_ref, name)), np.asarray(getattr(s_got, name))
+            assert np.array_equal(a, b), f"round {round_i} state.{name}"
+        for name in INFO_FIELDS:
+            a, b = np.asarray(getattr(i_ref, name)), np.asarray(getattr(i_got, name))
+            assert np.array_equal(a, b), f"round {round_i} info.{name}"

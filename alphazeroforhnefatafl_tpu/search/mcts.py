@@ -59,6 +59,13 @@ class MCTSConfig:
     dirichlet_alpha: float = 0.3
     dirichlet_eps: float = 0.25  # 0 disables root noise
     max_depth: int = 128
+    #: Child-candidate selection: "exact" (lax.top_k), "approx"
+    #: (lax.approx_max_k, recall>=0.99 — the TPU-native partial-reduce
+    #: top-k; a full sort of the action space costs more than the rest of
+    #: the simulation wave combined), or "auto" (approx on TPU, exact
+    #: elsewhere). Only affects WHICH of the >max_children lowest-prior
+    #: candidates are kept; exact/approx agree on clear-cut priors.
+    topk: str = "auto"
 
 
 class Tree(struct.PyTreeNode):
@@ -120,6 +127,16 @@ class MCTS:
         self.evaluate = evaluate
         self.config = config
         self.num_nodes = config.num_simulations + 1
+        self._approx_topk = config.topk == "approx" or (
+            config.topk == "auto" and jax.devices()[0].platform == "tpu"
+        )
+
+    def _topk(self, priors: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        if self._approx_topk:
+            return jax.lax.approx_max_k(
+                priors, self.config.max_children, recall_target=0.99
+            )
+        return jax.lax.top_k(priors, self.config.max_children)
 
     # -------------------- tree construction --------------------
 
@@ -148,7 +165,7 @@ class MCTS:
     def _expand_node(self, tree: Tree, node: jax.Array, priors: jax.Array) -> Tree:
         """Store the top-K prior actions as the node's candidate edges."""
         K = self.config.max_children
-        top_p, top_a = jax.lax.top_k(priors, K)
+        top_p, top_a = self._topk(priors)
         has_mass = top_p > 0
         top_a = jnp.where(has_mass, top_a, -1)
         top_p = jnp.where(has_mass, top_p, 0.0)
@@ -234,11 +251,35 @@ class MCTS:
 
     # -------------------- one simulation wave --------------------
 
+    def _take_node_state(self, tree_state: EnvState, node: jax.Array) -> EnvState:
+        """Per-game node-state read as a one-hot matmul over the node dim.
+
+        Batched dynamic gathers over [B, M, ...] buffers are the slowest op
+        class on TPU; a [1, M] x [M, P] dot on the MXU reads the same data
+        contiguously. All EnvState leaves hold small integers, exact in f32.
+        """
+        M = tree_state.terminated.shape[0]
+        onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]  # [1, M]
+
+        def take(x):
+            xf = x.astype(jnp.float32).reshape(M, -1)
+            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
+            return out.reshape(x.shape[1:]).astype(x.dtype)
+
+        return jax.tree_util.tree_map(take, tree_state)
+
     def _gather_parent(self, tree: Tree, t):
         """Per-game: the traversal's leaf-edge parent state and action."""
         parent, slot = t["leaf_parent"], t["leaf_slot"]
-        parent_state = jax.tree_util.tree_map(lambda x: x[parent], tree.state)
-        action = tree.child_action[parent, slot]
+        parent_state = self._take_node_state(tree.state, parent)
+        K = self.config.max_children
+        M = tree.expanded.shape[0]
+        onehot_p = (jnp.arange(M) == parent).astype(jnp.float32)[None, :]
+        row = jnp.matmul(
+            onehot_p, tree.child_action.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )[0]  # [K]
+        action = jnp.sum(row * (jnp.arange(K) == slot)).astype(jnp.int32)
         return parent_state, jnp.maximum(action, 0)
 
     def _materialize(self, tree: Tree, t, child_state: EnvState):
@@ -300,7 +341,7 @@ class MCTS:
         # copy every [M, K] buffer once per simulation.
         expand = ~t["at_node_leaf"] & ~leaf_terminal
         K = self.config.max_children
-        top_p, top_a = jax.lax.top_k(priors, K)
+        top_p, top_a = self._topk(priors)
         has_mass = top_p > 0
         top_a = jnp.where(has_mass, top_a, -1).astype(jnp.int32)
         top_p = jnp.where(has_mass, top_p, 0.0)
@@ -319,24 +360,31 @@ class MCTS:
 
         v = jnp.where(leaf_terminal, tree.terminal_value[leaf], nn_value)
 
-        # Negamax backup along the recorded path (src/mcts.py:125-136).
+        # Negamax backup along the recorded path (src/mcts.py:125-136),
+        # as one-hot path matmuls on the MXU: the sequential per-level
+        # scatter loop (a vmapped fori_loop of .at[].add updates) measured
+        # ~5 ms/wave at 1024 games — by far the slowest part of the search.
+        # Path position j (0 = root edge) receives v * (-1)^(depth - j).
         depth = t["depth"]
-
-        def body(i, carry):
-            tree, v = carry
-            idx = depth - 1 - i
-            node = t["path_nodes"][idx]
-            slot = t["path_slots"][idx]
-            v = -v
-            tree = tree.replace(
-                child_W=tree.child_W.at[node, slot].add(v),
-                child_N=tree.child_N.at[node, slot].add(1),
-                node_N=tree.node_N.at[node].add(1),
-            )
-            return tree, v
-
-        tree, _ = jax.lax.fori_loop(0, depth, body, (tree, v))
-        return tree
+        D = t["path_nodes"].shape[0]
+        j = jnp.arange(D)
+        on_path = j < depth  # bool[D]
+        sign_v = jnp.where((depth - j) % 2 == 1, -v, v) * on_path  # f32[D]
+        P = (
+            (t["path_nodes"][:, None] == jnp.arange(M)[None, :]) & on_path[:, None]
+        ).astype(jnp.float32)  # [D, M]
+        S = (t["path_slots"][:, None] == jnp.arange(K)[None, :]).astype(
+            jnp.float32
+        )  # [D, K]
+        w_add = jnp.matmul(P.T, S * sign_v[:, None], preferred_element_type=jnp.float32)
+        n_add = jnp.matmul(
+            P.T, S * on_path[:, None], preferred_element_type=jnp.float32
+        )
+        return tree.replace(
+            child_W=tree.child_W + w_add,
+            child_N=tree.child_N + n_add.astype(jnp.int32),
+            node_N=tree.node_N + jnp.sum(P, axis=0).astype(jnp.int32),
+        )
 
     # -------------------- public API --------------------
 
@@ -381,7 +429,7 @@ class MCTS:
             leaf_legal = step_info.legal_mask
             tree, leaf = jax.vmap(self._materialize)(tree, t, child_state)
             leaf_state = jax.vmap(
-                lambda tr, lf: jax.tree_util.tree_map(lambda x: x[lf], tr.state)
+                lambda tr, lf: self._take_node_state(tr.state, lf)
             )(tree, leaf)
             obs = jax.vmap(self.env.observe)(leaf_state)
             logits, value = self.evaluate(params, obs)

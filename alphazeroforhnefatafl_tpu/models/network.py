@@ -17,7 +17,7 @@ NN code; this module supplies that component, TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

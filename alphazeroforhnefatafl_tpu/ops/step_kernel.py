@@ -52,7 +52,7 @@ PERPS = ((2, 3), (2, 3), (0, 1), (0, 1))
 def _static_tables(env) -> Tuple[np.ndarray, dict]:
     """Pack every static per-cell table into one ``[nn, C]`` int32 array and
     collect the static python scalars the kernel closes over."""
-    from ..core.rules import KingAttack, KingStrength, PieceType, Side
+    from ..core.rules import KingAttack, KingStrength
 
     n = env.n
     nn = n * n

@@ -45,7 +45,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from ..core.env import DRAW, EnvState, ONGOING, TaflEnv
+from ..core.env import EnvState, TaflEnv
 
 EPS = 1e-8  # src/mcts.py:6
 NEG_INF = jnp.float32(-1e30)

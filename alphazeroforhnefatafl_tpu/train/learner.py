@@ -15,14 +15,12 @@ reference never had.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 
 
 class TrainState(struct.PyTreeNode):

@@ -9,7 +9,6 @@ metrics. Single-host here; multi-host orchestration layers on top via
 
 from __future__ import annotations
 
-import json
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -27,7 +26,7 @@ from .arena import play_match
 from .checkpoint import CheckpointManager
 from .learner import init_train_state, make_optimizer, make_train_step
 from .replay import ReplayBuffer, make_batch_builder
-from .selfplay import SelfPlayActor, SelfPlayConfig, SelfPlayStats
+from .selfplay import SelfPlayActor, SelfPlayConfig
 
 
 @dataclass(frozen=True)

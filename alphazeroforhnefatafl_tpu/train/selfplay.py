@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.env import DRAW, ONGOING, TaflEnv
+from ..core.env import DRAW, TaflEnv
 from ..search.mcts import MCTS, MCTSConfig, select_actions
 from .replay import ReplayBuffer
 

@@ -47,6 +47,9 @@ class LoopConfig:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 1
     seed: int = 0
+    #: Apply a random D4 board/action symmetry to every training sample
+    #: (core/symmetry.py) — 8x effective data from symmetric rulesets.
+    augment_symmetry: bool = True
     mcts: MCTSConfig = field(default_factory=lambda: MCTSConfig(num_simulations=64))
     selfplay: SelfPlayConfig = field(default_factory=SelfPlayConfig)
 
@@ -96,13 +99,21 @@ def run_loop(env: TaflEnv, config: LoopConfig, log: Optional[MetricsLogger] = No
         metrics = {}
         t1 = time.perf_counter()
         if replay.size >= config.min_replay_size:
+            from ..core.symmetry import random_symmetry_batch
+
+            augment = jax.jit(random_symmetry_batch)
             for _ in range(config.train_steps_per_iteration):
                 s = replay.sample(np_rng, config.train_batch_size)
+                board = jnp.asarray(s.board)
+                policy_idx = jnp.asarray(s.policy_idx)
+                if config.augment_symmetry:
+                    rng, a_rng = jax.random.split(rng)
+                    board, policy_idx = augment(a_rng, board, policy_idx)
                 batch = build_batch(
-                    jnp.asarray(s.board),
+                    board,
                     jnp.asarray(s.side),
                     jnp.asarray(s.reps),
-                    jnp.asarray(s.policy_idx),
+                    policy_idx,
                     jnp.asarray(s.policy_p),
                     jnp.asarray(s.value),
                 )

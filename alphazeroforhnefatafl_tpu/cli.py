@@ -203,6 +203,43 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_ladder(args):
+    """Round-robin the checkpoints in a run directory and fit Elo ratings."""
+    _maybe_cpu(args)
+    import json
+
+    import jax
+
+    from .core.env import make_env
+    from .models.network import make_network
+    from .search.mcts import MCTSConfig
+    from .train.arena import ladder
+    from .train.checkpoint import CheckpointManager
+    from .train.learner import init_train_state, make_optimizer
+
+    env = make_env(args.preset)
+    net = make_network(env.n, channels=args.channels, blocks=args.blocks)
+    opt = make_optimizer()
+    base = init_train_state(
+        net, jax.random.PRNGKey(0), env.num_observation_planes, opt
+    )
+    mgr = CheckpointManager(args.ckpt)
+    steps = sorted(mgr.mgr.all_steps())
+    named = [("init", base.params)]
+    for s in steps:
+        _, ts, _, _ = mgr.restore(base, None, iteration=s)
+        named.append((f"iter{s}", ts.params))
+    evaluate = jax.jit(lambda p, obs: net.apply(p, obs))
+    ratings, wins, games = ladder(
+        env,
+        evaluate,
+        named,
+        MCTSConfig(num_simulations=args.sims, max_children=32, dirichlet_eps=0.0),
+        games_per_pair=args.games,
+    )
+    print(json.dumps({"ratings": ratings}, indent=2))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="alphazeroforhnefatafl_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -240,6 +277,15 @@ def main(argv=None):
     p = sub.add_parser("bench", help="run the headline benchmark")
     _add_common(p)
     p.set_defaults(fn=cmd_bench)
+
+    p = sub.add_parser("ladder", help="Elo ladder over a run's checkpoints")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True, help="checkpoint directory of a run")
+    p.add_argument("--games", type=int, default=16)
+    p.add_argument("--sims", type=int, default=64)
+    p.add_argument("--channels", type=int, default=64)
+    p.add_argument("--blocks", type=int, default=6)
+    p.set_defaults(fn=cmd_ladder)
 
     args = parser.parse_args(argv)
     return args.fn(args)

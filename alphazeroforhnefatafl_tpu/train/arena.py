@@ -51,6 +51,53 @@ class ArenaResult:
         }
 
 
+def ladder(
+    env: TaflEnv,
+    evaluate: Callable,
+    named_params,  # list of (name, params)
+    mcts_config: MCTSConfig,
+    games_per_pair: int = 16,
+    rng: jax.Array = None,
+    iters: int = 200,
+):
+    """Round-robin all checkpoints and fit Elo ratings.
+
+    Plays every ordered pair once (``games_per_pair`` games, colors
+    alternating inside play_match), then fits ratings by iterative
+    logistic (Elo) minorization with the first entry anchored at 0.
+    Returns (ratings dict, score matrix).
+    """
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    n = len(named_params)
+    wins = np.zeros((n, n))  # expected score sums of i vs j
+    games = np.zeros((n, n))
+    for i in range(n):
+        for j in range(i + 1, n):
+            rng, sub = jax.random.split(rng)
+            res = play_match(
+                env,
+                evaluate,
+                named_params[i][1],
+                named_params[j][1],
+                mcts_config,
+                num_games=games_per_pair,
+                rng=sub,
+            )
+            wins[i, j] = res.score * res.games
+            wins[j, i] = (1 - res.score) * res.games
+            games[i, j] = games[j, i] = res.games
+
+    # Elo fit: r_i maximizing the Bradley-Terry likelihood (MM updates).
+    r = np.zeros(n)
+    for _ in range(iters):
+        expect = 1.0 / (1.0 + 10 ** ((r[None, :] - r[:, None]) / 400.0))
+        grad = (wins - games * expect).sum(axis=1)
+        r = r + 4.0 * grad / np.maximum(games.sum(axis=1), 1)
+        r -= r[0]  # anchor
+    ratings = {name: float(r[i]) for i, (name, _) in enumerate(named_params)}
+    return ratings, wins, games
+
+
 def play_match(
     env: TaflEnv,
     evaluate: Callable,

@@ -95,7 +95,16 @@ class CheckpointManager:
         }
         if replay is not None:
             template["replay"] = _replay_state(replay)
-        restored = self.mgr.restore(step, args=ocp.args.StandardRestore(template))
+            restored = self.mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        else:
+            # Params-only restore (e.g. the Elo ladder): skip the on-disk
+            # replay payload.
+            restored = self.mgr.restore(
+                step,
+                args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
+            )
         if replay is not None:
             _restore_replay(replay, restored["replay"])
         rng = jax.numpy.asarray(restored["rng"])

@@ -510,7 +510,6 @@ def _build_step_kernel(static: dict):
 
         # ---- next player's legal mask on board3 (ops/legal_mask.py) ----
         side2 = 1 - side
-        empty3 = (board3 == EMPTY).astype(jnp.int32)
         sel = []
         for pairs in static["move_selectors"]:
             s = zero
@@ -519,9 +518,8 @@ def _build_step_kernel(static: dict):
                     (board3 == cell_code) & (side2 == side_val)
                 ).astype(jnp.int32)
             sel.append(s)
-        for i, max_dist in enumerate(static["move_max_dists"]):
-            if i == 0:
-                dest_ps, pass_ps = [], []
+        dest_ps, pass_ps = [], []
+        for i in range(len(static["move_max_dists"])):
             dest_ps.append(empty3 & col(f"occupiable_{i}"))
             pass_ps.append(empty3 & col(f"passable_{i}"))
         for d in range(4):

@@ -29,8 +29,12 @@ from .replay import ReplayBuffer
 class SelfPlayConfig:
     batch_size: int = 64
     temp_threshold: int = 12  # moves with temp=1 before switching to argmax
-    max_game_len: int = 256  # positions beyond this are flushed as draws
+    max_game_len: int = 256  # length cap; see bootstrap_truncated
     policy_k: int = 128  # sparse policy-target width
+    #: Value target for games cut at max_game_len: the final position's MCTS
+    #: root value (sign-adjusted per side) instead of a hard draw — truncation
+    #: is a horizon artifact, not evidence the position was drawn.
+    bootstrap_truncated: bool = True
 
 
 @dataclass
@@ -114,6 +118,7 @@ class SelfPlayActor:
         ep_reps = np.zeros((B, L), np.int8)
         ep_pidx = np.full((B, L, K), -1, np.int32)
         ep_pp = np.zeros((B, L, K), np.float32)
+        ep_rootv = np.zeros((B, L), np.float32)
         ep_len = np.zeros((B,), np.int32)
 
         completed = 0
@@ -134,6 +139,7 @@ class SelfPlayActor:
 
             top_a_np = np.asarray(top_a)
             top_p_np = np.asarray(top_p)
+            root_v_np = np.asarray(root_v)
             for g in range(B):
                 t = int(ep_len[g])
                 if t < L:
@@ -142,6 +148,7 @@ class SelfPlayActor:
                     ep_reps[g, t] = b_reps[g]
                     ep_pidx[g, t] = top_a_np[g]
                     ep_pp[g, t] = top_p_np[g]
+                    ep_rootv[g, t] = root_v_np[g]
             ep_len += 1
 
             done = np.asarray(states.terminated)
@@ -153,7 +160,15 @@ class SelfPlayActor:
                 length = int(min(ep_len[g], L))
                 r = int(results[g]) if done[g] else DRAW
                 sides = ep_side[g, :length]
-                if r == DRAW:
+                if not done[g] and cfg.bootstrap_truncated:
+                    # Horizon cut: bootstrap from the last root value,
+                    # sign-adjusted to each position's mover.
+                    v_last = float(ep_rootv[g, length - 1])
+                    last_side = sides[length - 1]
+                    z = np.where(sides == last_side, v_last, -v_last).astype(
+                        np.float32
+                    )
+                elif r == DRAW:
                     z = np.zeros(length, np.float32)
                 else:
                     z = np.where(sides == r, 1.0, -1.0).astype(np.float32)

@@ -526,3 +526,27 @@ class TestInvalidPlayRaises:
         game = Game(BRANDUBH, BOARDS.BRANDUBH)
         with pytest.raises(InvalidPlayError):
             game.do_play(P((0, 3), (0, 0)))
+
+
+class TestPlayRecordNotation:
+    """Capture notation of PlayRecord (game/play.rs:105-133)."""
+
+    def test_capture_notation(self):
+        from alphazeroforhnefatafl_tpu.core.oracle import Game
+        from alphazeroforhnefatafl_tpu.core.rules import BRANDUBH, BOARDS
+
+        from alphazeroforhnefatafl_tpu.core.oracle import Play
+
+        game = Game(BRANDUBH, BOARDS.BRANDUBH)
+        for mv in ["d1-c1", "d3-a3", "d2-a2", "e4-e2"]:
+            game.do_play(Play.from_str(mv))
+        # e4-e2 custodian-captures the attacker shifted to... verify via record
+        recs = [str(r) for r in game.play_history]
+        assert recs[0] == "d1-c1"
+        last = game.play_history[-1]
+        if last.captures:
+            assert "x" in recs[-1]
+            for t in last.captures:
+                from alphazeroforhnefatafl_tpu.core import fen as fen_mod
+                assert fen_mod.tile_to_str(*t) in recs[-1]
+        assert last.eq_ignore_outcome(last)

@@ -31,10 +31,13 @@ class SelfPlayConfig:
     temp_threshold: int = 12  # moves with temp=1 before switching to argmax
     max_game_len: int = 256  # length cap; see bootstrap_truncated
     policy_k: int = 128  # sparse policy-target width
-    #: Value target for games cut at max_game_len: the final position's MCTS
-    #: root value (sign-adjusted per side) instead of a hard draw — truncation
-    #: is a horizon artifact, not evidence the position was drawn.
-    bootstrap_truncated: bool = True
+    #: EXPERIMENTAL: value target for games cut at max_game_len = the final
+    #: position's MCTS root value (sign-adjusted per side) instead of a hard
+    #: draw. Off by default: in an 11x11 A/B it reinforced a shuffling
+    #: equilibrium (the net predicts ~0, truncations get ~0 targets, long
+    #: drawish play is never penalized) and lost -100 Elo to the hard-draw
+    #: labeling at equal budget.
+    bootstrap_truncated: bool = False
 
 
 @dataclass

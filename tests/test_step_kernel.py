@@ -39,7 +39,7 @@ INFO_FIELDS = [
 ]
 
 
-@pytest.mark.parametrize("preset", ["brandubh", "copenhagen", "tablut"])
+@pytest.mark.parametrize("preset", ["brandubh", "copenhagen", "tablut", "magpie"])
 def test_step_batch_matches_vmap_step(preset):
     env = make_env(preset)
     B, steps = 6, 24

@@ -72,6 +72,10 @@ def run_loop(env: TaflEnv, config: LoopConfig, log: Optional[MetricsLogger] = No
     actor = SelfPlayActor(env, evaluate, config.mcts, config.selfplay)
     np_rng = np.random.RandomState(config.seed)
 
+    from ..core.symmetry import random_symmetry_batch
+
+    augment = jax.jit(random_symmetry_batch)
+
     ckpt = (
         CheckpointManager(config.checkpoint_dir)
         if config.checkpoint_dir
@@ -99,9 +103,6 @@ def run_loop(env: TaflEnv, config: LoopConfig, log: Optional[MetricsLogger] = No
         metrics = {}
         t1 = time.perf_counter()
         if replay.size >= config.min_replay_size:
-            from ..core.symmetry import random_symmetry_batch
-
-            augment = jax.jit(random_symmetry_batch)
             for _ in range(config.train_steps_per_iteration):
                 s = replay.sample(np_rng, config.train_batch_size)
                 board = jnp.asarray(s.board)

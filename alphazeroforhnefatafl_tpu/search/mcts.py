@@ -58,7 +58,10 @@ class MCTSConfig:
     cpuct: float = 1.5  # args.cpuct in src/mcts.py:112
     dirichlet_alpha: float = 0.3
     dirichlet_eps: float = 0.25  # 0 disables root noise
-    max_depth: int = 128
+    #: Path-buffer bound; traversals past it are treated as leaves. Tafl
+    #: searches rarely exceed ~30 plies; the backup's one-hot path tensor is
+    #: [B, max_depth, M], so keep this tight.
+    max_depth: int = 64
     #: Child-candidate selection: "exact" (lax.top_k), "approx"
     #: (lax.approx_max_k, recall>=0.99 — the TPU-native partial-reduce
     #: top-k; a full sort of the action space costs more than the rest of
@@ -268,6 +271,23 @@ class MCTS:
 
         return jax.tree_util.tree_map(take, tree_state)
 
+    def _take_observe_fields(self, tree_state: EnvState, node: jax.Array):
+        """Per-game (board, side_to_play, reps) of a node via one-hot dots —
+        the only EnvState fields ``TaflEnv.observe`` reads."""
+        M = tree_state.terminated.shape[0]
+        onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]
+
+        def take(x):
+            xf = x.astype(jnp.float32).reshape(M, -1)
+            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
+            return out.reshape(x.shape[1:]).astype(x.dtype)
+
+        return (
+            take(tree_state.board),
+            take(tree_state.side_to_play),
+            take(tree_state.reps),
+        )
+
     def _gather_parent(self, tree: Tree, t):
         """Per-game: the traversal's leaf-edge parent state and action."""
         parent, slot = t["leaf_parent"], t["leaf_slot"]
@@ -282,108 +302,120 @@ class MCTS:
         action = jnp.sum(row * (jnp.arange(K) == slot)).astype(jnp.int32)
         return parent_state, jnp.maximum(action, 0)
 
-    def _materialize(self, tree: Tree, t, child_state: EnvState):
-        """Per-game phase 1b: write the stepped child into the tree and
-        return (updated tree, leaf node index).
+    def _materialize_batched(self, tree, t, child_state: EnvState, new_idx):
+        """Batched phase 1b: write the stepped children into node slot
+        ``new_idx`` and return (updated tree, leaf node indices ``[B]``).
 
-        The leaf's legal mask comes for free from the materializing env step
-        (``info.legal_mask`` — the env already runs the next player's ray
-        scan for its NoPlays check), so the search never recomputes it. It is
-        only meaningful for newly materialized leaves; the other leaf kinds
-        (terminal nodes, depth-capped nodes) are never (re-)expanded.
+        One node slot is force-allocated per wave for EVERY game — the write
+        index is a batch-uniform scalar, so node-state writes are single
+        dynamic slice updates instead of batched scatters / one-hot sweeps
+        over the whole [B, M, ...] buffers (whose traffic scaled with the
+        simulation count). Games whose traversal ended at a terminal or
+        depth-capped node simply leave their slot unlinked and unreachable;
+        the slot budget (M = num_simulations + 1) is unchanged.
         """
-        at_node_leaf = t["at_node_leaf"]
-        parent, slot = t["leaf_parent"], t["leaf_slot"]
-        new_idx = tree.n_nodes
+        at_node_leaf = t["at_node_leaf"]  # [B]
         make_new = ~at_node_leaf
-
-        # All node-buffer writes use dense one-hot masked selects rather than
-        # .at[] scatters: batched dynamic scatters over the node dim are the
-        # slowest op class on TPU (see _simulate_post).
-        M = tree.expanded.shape[0]
+        M = tree.expanded.shape[1]
         K = self.config.max_children
-        at_new = (jnp.arange(M) == new_idx) & make_new  # bool[M]
 
-        def write_state(buf, val):
-            def wr(b, v):
-                m = at_new.reshape((M,) + (1,) * (b.ndim - 1))
-                return jnp.where(m, v[None], b)
+        def wr(buf, val):
+            cur = jax.lax.dynamic_index_in_dim(buf, new_idx, 1, keepdims=False)
+            m = make_new.reshape((-1,) + (1,) * (val.ndim - 1))
+            return jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(m, val, cur), new_idx, 1
+            )
 
-            return jax.tree_util.tree_map(wr, buf, val)
-
-        at_parent_slot = (
-            ((jnp.arange(M) == parent) & make_new)[:, None]
-            & (jnp.arange(K) == slot)[None, :]
+        state = jax.tree_util.tree_map(wr, tree.state, child_state)
+        terminal = wr(tree.terminal, child_state.terminated)
+        tvals = jax.vmap(terminal_value)(child_state)
+        tval_buf = wr(tree.terminal_value, tvals)
+        # The parent->child link is per-game (parent, slot): a dense one-hot
+        # masked write over [B, M, K] (cheap relative to the state buffers).
+        at_ps = (
+            ((jnp.arange(M)[None, :] == t["leaf_parent"][:, None]) & make_new[:, None])[
+                :, :, None
+            ]
+            & (jnp.arange(K)[None, :] == t["leaf_slot"][:, None])[:, None, :]
         )
         tree = tree.replace(
-            state=write_state(tree.state, child_state),
-            terminal=jnp.where(at_new, child_state.terminated, tree.terminal),
-            terminal_value=jnp.where(
-                at_new, terminal_value(child_state), tree.terminal_value
-            ),
-            child_node=jnp.where(at_parent_slot, new_idx, tree.child_node),
-            n_nodes=tree.n_nodes + make_new.astype(jnp.int32),
+            state=state,
+            terminal=terminal,
+            terminal_value=tval_buf,
+            child_node=jnp.where(at_ps, new_idx, tree.child_node),
+            n_nodes=jnp.full_like(tree.n_nodes, new_idx + 1),
         )
         leaf = jnp.where(at_node_leaf, t["node"], new_idx)
         return tree, leaf
 
-    def _simulate_post(
-        self, tree: Tree, t, leaf: jax.Array, priors: jax.Array, nn_value: jax.Array
-    ) -> Tree:
-        """Per-game phase 2: expand the leaf with NN priors (unless terminal)
-        and back the value up the path."""
-        leaf_terminal = tree.terminal[leaf]
-        # Expand only newly materialized, non-terminal leaves (terminal nodes
-        # are never expanded, mirroring the Es cache short-circuit at
-        # src/mcts.py:77-81; depth-capped nodes are already expanded and keep
-        # their edges — their NN value still backs up the path). Only the
-        # three expansion fields are touched: a whole-tree select here would
-        # copy every [M, K] buffer once per simulation.
-        expand = ~t["at_node_leaf"] & ~leaf_terminal
+    def _simulate_post_batched(
+        self, tree, t, leaf, priors, nn_value, new_idx
+    ):
+        """Batched phase 2: expand the new leaves with NN priors (unless
+        terminal) and back values up the recorded paths.
+
+        Expansion can only apply to the freshly materialized node (slot
+        ``new_idx``), so the expansion writes are scalar-index slice updates.
+        The leaf's legal mask comes for free from the materializing env step
+        (``info.legal_mask``); terminal nodes are never expanded (the Es
+        cache short-circuit at src/mcts.py:77-81) and depth-capped nodes
+        keep their edges — their NN value still backs up the path.
+        """
+        M = tree.expanded.shape[1]
         K = self.config.max_children
+        leaf_terminal = jnp.take_along_axis(tree.terminal, leaf[:, None], 1)[:, 0]
+        leaf_tv = jnp.take_along_axis(tree.terminal_value, leaf[:, None], 1)[:, 0]
+        expand = ~t["at_node_leaf"] & ~leaf_terminal  # [B]
+
         top_p, top_a = self._topk(priors)
         has_mass = top_p > 0
         top_a = jnp.where(has_mass, top_a, -1).astype(jnp.int32)
         top_p = jnp.where(has_mass, top_p, 0.0)
-        # One-hot masked writes to the three expansion fields: batched
-        # dynamic gathers/scatters over the node dim are pathologically slow
-        # on TPU, and a whole-tree select would copy every buffer, so a dense
-        # masked where over just these [M, K] fields is the cheapest form.
-        M = tree.expanded.shape[0]
-        at_leaf = jnp.arange(M) == leaf  # bool[M]
-        w = at_leaf & expand
+
+        def wr(buf, val, mask):
+            cur = jax.lax.dynamic_index_in_dim(buf, new_idx, 1, keepdims=False)
+            m = mask.reshape((-1,) + (1,) * (val.ndim - 1))
+            return jax.lax.dynamic_update_index_in_dim(
+                buf, jnp.where(m, val, cur), new_idx, 1
+            )
+
         tree = tree.replace(
-            expanded=tree.expanded | w,
-            child_action=jnp.where(w[:, None], top_a[None, :], tree.child_action),
-            child_prior=jnp.where(w[:, None], top_p[None, :], tree.child_prior),
+            expanded=wr(tree.expanded, jnp.ones_like(expand), expand),
+            child_action=wr(tree.child_action, top_a, expand),
+            child_prior=wr(tree.child_prior, top_p, expand),
         )
 
-        v = jnp.where(leaf_terminal, tree.terminal_value[leaf], nn_value)
+        v = jnp.where(leaf_terminal, leaf_tv, nn_value)  # [B]
 
-        # Negamax backup along the recorded path (src/mcts.py:125-136),
-        # as one-hot path matmuls on the MXU: the sequential per-level
-        # scatter loop (a vmapped fori_loop of .at[].add updates) measured
-        # ~5 ms/wave at 1024 games — by far the slowest part of the search.
-        # Path position j (0 = root edge) receives v * (-1)^(depth - j).
-        depth = t["depth"]
-        D = t["path_nodes"].shape[0]
-        j = jnp.arange(D)
-        on_path = j < depth  # bool[D]
-        sign_v = jnp.where((depth - j) % 2 == 1, -v, v) * on_path  # f32[D]
+        # Negamax backup along the recorded paths (src/mcts.py:125-136) as
+        # one-hot path matmuls on the MXU — a sequential per-level scatter
+        # loop measured ~5 ms/wave at 1024 games. Path position j (0 = root
+        # edge) receives v * (-1)^(depth - j).
+        depth = t["depth"]  # [B]
+        D = t["path_nodes"].shape[1]
+        j = jnp.arange(D)[None, :]
+        on_path = j < depth[:, None]  # [B, D]
+        sign_v = jnp.where((depth[:, None] - j) % 2 == 1, -v[:, None], v[:, None])
+        sign_v = sign_v * on_path  # [B, D]
         P = (
-            (t["path_nodes"][:, None] == jnp.arange(M)[None, :]) & on_path[:, None]
-        ).astype(jnp.float32)  # [D, M]
-        S = (t["path_slots"][:, None] == jnp.arange(K)[None, :]).astype(
-            jnp.float32
-        )  # [D, K]
-        w_add = jnp.matmul(P.T, S * sign_v[:, None], preferred_element_type=jnp.float32)
-        n_add = jnp.matmul(
-            P.T, S * on_path[:, None], preferred_element_type=jnp.float32
+            (t["path_nodes"][:, :, None] == jnp.arange(M)[None, None, :])
+            & on_path[:, :, None]
+        ).astype(jnp.float32)  # [B, D, M]
+        S = (
+            t["path_slots"][:, :, None] == jnp.arange(K)[None, None, :]
+        ).astype(jnp.float32)  # [B, D, K]
+        w_add = jnp.einsum(
+            "bjm,bjk->bmk", P, S * sign_v[:, :, None],
+            preferred_element_type=jnp.float32,
+        )
+        n_add = jnp.einsum(
+            "bjm,bjk->bmk", P, S * on_path[:, :, None].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
         return tree.replace(
             child_W=tree.child_W + w_add,
             child_N=tree.child_N + n_add.astype(jnp.int32),
-            node_N=tree.node_N + jnp.sum(P, axis=0).astype(jnp.int32),
+            node_N=tree.node_N + jnp.sum(P, axis=1).astype(jnp.int32),
         )
 
     # -------------------- public API --------------------
@@ -419,26 +451,40 @@ class MCTS:
         tree = jax.vmap(self._empty_tree)(root_state)
         tree = jax.vmap(self._expand_node)(tree, jnp.zeros((B,), jnp.int32), priors)
 
-        def sim_step(carry, _):
-            tree = carry
+        def sim_step(tree, wave):
             t = jax.vmap(self._traverse)(tree)
             parent_state, actions = jax.vmap(self._gather_parent)(tree, t)
             # Batched env step — the fused pallas kernel on TPU. Its
             # info.legal_mask is the leaf's mask for prior computation.
             child_state, step_info = self.env.step_many(parent_state, actions)
             leaf_legal = step_info.legal_mask
-            tree, leaf = jax.vmap(self._materialize)(tree, t, child_state)
-            leaf_state = jax.vmap(
-                lambda tr, lf: self._take_node_state(tr.state, lf)
-            )(tree, leaf)
+            new_idx = wave + 1
+            tree, leaf = self._materialize_batched(tree, t, child_state, new_idx)
+            # Observation inputs for the leaf: the fresh child state for
+            # newly materialized leaves, else the stored node state (only the
+            # fields observe() reads are fetched, via one-hot dots).
+            make_new = ~t["at_node_leaf"]
+            stored = jax.vmap(
+                lambda tr, nd: self._take_observe_fields(tr.state, nd)
+            )(tree, t["node"])
+
+            def sel(fresh, old):
+                m = make_new.reshape((-1,) + (1,) * (fresh.ndim - 1))
+                return jnp.where(m, fresh, old)
+
+            leaf_state = child_state.replace(
+                board=sel(child_state.board, stored[0]),
+                side_to_play=sel(child_state.side_to_play, stored[1]),
+                reps=sel(child_state.reps, stored[2]),
+            )
             obs = jax.vmap(self.env.observe)(leaf_state)
             logits, value = self.evaluate(params, obs)
             priors = _masked_priors(logits, leaf_legal)
-            tree = jax.vmap(self._simulate_post)(tree, t, leaf, priors, value)
+            tree = self._simulate_post_batched(tree, t, leaf, priors, value, new_idx)
             return tree, None
 
         tree, _ = jax.lax.scan(
-            sim_step, tree, None, length=cfg.num_simulations
+            sim_step, tree, jnp.arange(cfg.num_simulations, dtype=jnp.int32)
         )
 
         # Visit-count policy at the root (src/mcts.py:40-41).

@@ -87,7 +87,7 @@ class Tree(struct.PyTreeNode):
     child_N: jax.Array  # i32[M, K]  (Nsa)
     child_W: jax.Array  # f32[M, K]  (Nsa * Qsa)
     child_node: jax.Array  # i32[M, K], -1 = not yet materialized
-    n_nodes: jax.Array  # i32 next free slot
+    n_nodes: jax.Array  # i32 allocated slots (one per wave; some unlinked)
 
 
 class SearchResult(struct.PyTreeNode):

@@ -143,15 +143,16 @@ class SelfPlayActor:
             top_a_np = np.asarray(top_a)
             top_p_np = np.asarray(top_p)
             root_v_np = np.asarray(root_v)
-            for g in range(B):
-                t = int(ep_len[g])
-                if t < L:
-                    ep_board[g, t] = b_board[g]
-                    ep_side[g, t] = b_side[g]
-                    ep_reps[g, t] = b_reps[g]
-                    ep_pidx[g, t] = top_a_np[g]
-                    ep_pp[g, t] = top_p_np[g]
-                    ep_rootv[g, t] = root_v_np[g]
+            # Vectorized episode-buffer writes (a Python loop over the game
+            # batch costs ~10 ms/move at B=256).
+            g_idx = np.nonzero(ep_len < L)[0]
+            t_idx = ep_len[g_idx]
+            ep_board[g_idx, t_idx] = b_board[g_idx]
+            ep_side[g_idx, t_idx] = b_side[g_idx]
+            ep_reps[g_idx, t_idx] = b_reps[g_idx]
+            ep_pidx[g_idx, t_idx] = top_a_np[g_idx]
+            ep_pp[g_idx, t_idx] = top_p_np[g_idx]
+            ep_rootv[g_idx, t_idx] = root_v_np[g_idx]
             ep_len += 1
 
             done = np.asarray(states.terminated)

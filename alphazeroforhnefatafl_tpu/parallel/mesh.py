@@ -47,6 +47,22 @@ def make_mesh(
     return Mesh(dev_array, tuple(axis_names))
 
 
+def auto_mesh(
+    *batch_sizes: int, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    """Largest 1-D ``dp`` mesh whose size divides every given batch size.
+
+    The training loop calls this so arbitrary user batch sizes never trip
+    sharding divisibility; with indivisible sizes it degrades toward fewer
+    devices (worst case a 1-device mesh).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    while n > 1 and any(b % n != 0 for b in batch_sizes):
+        n -= 1
+    return make_mesh((n,), ("dp",), devices[:n])
+
+
 def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
     """Shard the leading (batch) dimension over ``axis``; replicate the rest."""
     return NamedSharding(mesh, P(axis))
@@ -65,3 +81,19 @@ def shard_batch(mesh: Mesh, tree, axis: str = "dp"):
 def replicate(mesh: Mesh, tree):
     sh = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+
+
+def shard_host_batch(mesh: Mesh, tree, axis: str = "dp"):
+    """Form a globally batch-sharded pytree from per-host local data.
+
+    Multi-host: every process passes its own slice of the global batch
+    (per-host replay semantics — see ``parallel/launch.py``) and the pieces
+    are assembled into one global array. Single-process: a plain sharded
+    ``device_put``.
+    """
+    sh = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), tree
+    )

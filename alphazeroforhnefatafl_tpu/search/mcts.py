@@ -57,6 +57,11 @@ class MCTSConfig:
     max_children: int = 128
     cpuct: float = 1.5  # args.cpuct in src/mcts.py:112
     dirichlet_alpha: float = 0.3
+    #: When set, per-position alpha = dirichlet_alpha_scale / num_legal_moves
+    #: (AlphaZero practice scales alpha inversely with branching factor; ~10
+    #: gives alpha ~0.1 for tafl's ~100-move positions), overriding
+    #: ``dirichlet_alpha``.
+    dirichlet_alpha_scale: "float | None" = None
     dirichlet_eps: float = 0.25  # 0 disables root noise
     #: Path-buffer bound; traversals past it are treated as leaves. Tafl
     #: searches rarely exceed ~30 plies; the backup's one-hot path tensor is
@@ -442,8 +447,17 @@ class MCTS:
         priors = _masked_priors(logits, root_legal)
         if add_noise and cfg.dirichlet_eps > 0:
             rng, sub = jax.random.split(rng)
-            alpha = jnp.full((root_legal.shape[-1],), cfg.dirichlet_alpha)
-            noise = jax.random.dirichlet(sub, alpha, shape=(B,)) * root_legal
+            n_legal = jnp.maximum(
+                jnp.sum(root_legal, axis=-1, keepdims=True), 1
+            ).astype(jnp.float32)
+            if cfg.dirichlet_alpha_scale is not None:
+                alpha_b = cfg.dirichlet_alpha_scale / n_legal  # [B, 1]
+            else:
+                alpha_b = jnp.full_like(n_legal, cfg.dirichlet_alpha)
+            # Masked-out entries get a tiny alpha; the aggregation property of
+            # the Dirichlet makes the renormalized legal marginal exact.
+            alpha = jnp.where(root_legal, alpha_b, 1e-3)  # [B, A]
+            noise = jax.random.dirichlet(sub, alpha) * root_legal
             noise = noise / jnp.maximum(noise.sum(-1, keepdims=True), 1e-30)
             priors = (1 - cfg.dirichlet_eps) * priors + cfg.dirichlet_eps * noise
             priors = priors * root_legal

@@ -98,6 +98,34 @@ def ladder(
     return ratings, wins, games
 
 
+def _pair_evaluate(evaluate: Callable) -> Callable:
+    """Wrap ``evaluate`` so a single search serves both players.
+
+    The search "params" become ``(stacked, i0)`` where ``stacked`` holds both
+    nets with a leading [2] axis and ``i0`` selects which net evaluates the
+    first half of the game batch (the second half gets the other). Games are
+    laid out so each half is owned by one player for a whole ply, so the NN
+    cost is two half-batch forwards — the same FLOPs as one full-batch
+    forward, and the tree work runs once instead of twice.
+    """
+
+    def ev(params_and_idx, obs):
+        stacked, i0 = params_and_idx
+        half = obs.shape[0] // 2
+
+        def take(idx):
+            return jax.tree_util.tree_map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, idx, 0, keepdims=False),
+                stacked,
+            )
+
+        l0, v0 = evaluate(take(i0), obs[:half])
+        l1, v1 = evaluate(take(1 - i0), obs[half:])
+        return jnp.concatenate([l0, l1], 0), jnp.concatenate([v0, v1], 0)
+
+    return ev
+
+
 def play_match(
     env: TaflEnv,
     evaluate: Callable,
@@ -107,47 +135,58 @@ def play_match(
     num_games: int = 32,
     max_game_len: int = 256,
     rng: jax.Array = None,
+    sharding=None,
 ) -> ArenaResult:
-    """Play ``num_games`` (half with candidate as attacker, half as defender)."""
+    """Play ``num_games`` (half with candidate as attacker, half as defender).
+
+    One batched search per ply: every running game is at the same ply
+    (terminated games freeze), so the side to move — and with the
+    attacker-games-first layout, which net owns which half of the batch — is
+    a pure function of the move index, carried as a traced scalar into a
+    single compiled move fn.
+
+    ``sharding``: optional ``NamedSharding`` to spread the game batch over a
+    ``dp`` mesh (params should be replicated over the same mesh).
+    """
     rng = jax.random.PRNGKey(0) if rng is None else rng
     B = num_games
-    mcts = MCTS(env, evaluate, mcts_config)
+    if B % 2 != 0:
+        raise ValueError("num_games must be even (candidate plays each color)")
+    mcts = MCTS(env, _pair_evaluate(evaluate), mcts_config)
+    stacked = jax.tree_util.tree_map(
+        lambda c, i: jnp.stack([c, i]), params_candidate, params_incumbent
+    )
 
-    def move(params, states, rng):
+    def move(stacked, i0, states, rng):
         legal = jax.vmap(env.legal_mask)(states)
-        result = mcts.search(params, states, legal, rng, add_noise=False)
+        result = mcts.search((stacked, i0), states, legal, rng, add_noise=False)
         actions = select_actions(
             result.action_probs, legal, jnp.zeros((B,)), rng
         )
         new_states, _ = env.step_many(states, actions)
         return new_states
 
-    move = jax.jit(move)
+    move = jax.jit(move) if sharding is None else jax.jit(
+        move, out_shardings=sharding
+    )
 
     # candidate plays attacker in games [0, B/2), defender in [B/2, B).
     cand_is_attacker = np.arange(B) < B // 2
     states = env.reset_batch(B)
+    if sharding is not None:
+        states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, sharding), states
+        )
     done_results = np.full(B, -2, np.int32)  # -2 = still running
 
     starting_side = int(env.rules.starting_side)
     for move_i in range(max_game_len):
-        # Every running game is at the same ply (terminated games freeze), so
-        # the side to move is a pure function of the move index.
         side = (starting_side + move_i) % 2
-        use_candidate = cand_is_attacker if side == 0 else ~cand_is_attacker
-        rng, sub_c, sub_i = jax.random.split(rng, 3)
-        # Both policies compute their move for the full batch; each game keeps
-        # the one belonging to the player on turn. (Two searches per ply; a
-        # later optimization can stack params and vmap a single search.)
-        states_c = move(params_candidate, states, sub_c)
-        states_i = move(params_incumbent, states, sub_i)
-        sel = jnp.asarray(use_candidate)
-
-        def pick(c, i):
-            d = sel.reshape(sel.shape + (1,) * (c.ndim - 1))
-            return jnp.where(d, c, i)
-
-        states = jax.tree_util.tree_map(pick, states_c, states_i)
+        # Candidate owns the first half of the batch exactly when the
+        # attacker is on turn.
+        i0 = jnp.int32(0 if side == 0 else 1)
+        rng, sub = jax.random.split(rng)
+        states = move(stacked, i0, states, sub)
 
         res = np.asarray(states.result)
         term = np.asarray(states.terminated)

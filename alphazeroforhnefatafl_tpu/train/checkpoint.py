@@ -84,14 +84,18 @@ class CheckpointManager:
         train_state: TrainState,
         replay: Optional[ReplayBuffer],
         iteration: Optional[int] = None,
+        extra_template: Optional[Dict[str, Any]] = None,
     ) -> Tuple[int, TrainState, jax.Array, Dict[str, Any]]:
+        """Restore a checkpoint. ``extra_template`` must mirror the ``extra``
+        payload the checkpoint was saved with (e.g. the gating incumbent
+        params); it defaults to the empty dict of ungated runs."""
         step = iteration if iteration is not None else self.mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.directory}")
         template = {
             "train_state": train_state,
             "rng": np.zeros(2, np.uint32),
-            "extra": {},
+            "extra": extra_template or {},
         }
         if replay is not None:
             template["replay"] = _replay_state(replay)

@@ -72,7 +72,13 @@ class SelfPlayActor:
         evaluate: Callable,
         mcts_config: MCTSConfig,
         config: SelfPlayConfig,
+        sharding=None,
     ):
+        """``sharding``: optional ``NamedSharding`` (e.g. ``P("dp")`` over a
+        mesh) for the lockstep game batch — each device steps its own slice
+        of the games with zero cross-device traffic (pure DP of games,
+        SURVEY.md §5). Params should then be replicated over the same mesh.
+        """
         self.env = env
         self.cfg = config
         self.mcts = MCTS(env, evaluate, mcts_config)
@@ -96,8 +102,25 @@ class SelfPlayActor:
                 rng,
             )
 
-        self._move = jax.jit(move_fn)
-        self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
+        if sharding is None:
+            self._move = jax.jit(move_fn)
+            self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            repl = NamedSharding(sharding.mesh, PartitionSpec())
+            # (states, actions, info, top_a, top_p, root_value, rng):
+            # everything batched over games except the carried rng key.
+            self._move = jax.jit(
+                move_fn,
+                out_shardings=(
+                    sharding, sharding, sharding, sharding, sharding, sharding,
+                    repl,
+                ),
+            )
+            self._reset_batch = jax.jit(
+                lambda: env.reset_batch(config.batch_size), out_shardings=sharding
+            )
 
     def play(
         self,

@@ -22,14 +22,28 @@ class MetricsLogger:
         self.stream = stream or sys.stdout
         self._file = open(jsonl_path, "a") if jsonl_path else None
         self._pending: "OrderedDict[str, float]" = OrderedDict()
+        self._pending_step: Optional[int] = None
         self._t0 = time.time()
 
     def scalar(self, name: str, value, step: Optional[int] = None) -> None:
+        # A scalar logged under a different step than the pending buffer
+        # flushes the buffer first, so per-step attribution never depends on
+        # call ordering relative to flush().
+        if (
+            step is not None
+            and self._pending_step is not None
+            and step != self._pending_step
+        ):
+            self.flush()
+        if step is not None:
+            self._pending_step = step
         self._pending[name] = float(value)
 
     def flush(self, step: Optional[int] = None) -> None:
         if not self._pending:
             return
+        if step is None:
+            step = self._pending_step
         rec = {"step": step, "t": round(time.time() - self._t0, 3)}
         rec.update({k: round(v, 6) for k, v in self._pending.items()})
         line = json.dumps(rec)
@@ -38,6 +52,7 @@ class MetricsLogger:
             self._file.write(line + "\n")
             self._file.flush()
         self._pending.clear()
+        self._pending_step = None
 
     def close(self) -> None:
         if self._file:

@@ -216,6 +216,15 @@ class GameState:
     def from_fen(fen_str: str, side_to_play: Side) -> "GameState":
         return GameState(board=fen.board_from_fen(fen_str), side_to_play=side_to_play)
 
+    def swap_pieces(self, t1: Tile, t2: Tile) -> None:
+        """Swap the pieces at two tiles (``game/board/state.rs:68-79``).
+
+        The reference must shepherd its packed king nibble through the swap;
+        here the king is just cell value 3, so an array swap is exact.
+        """
+        a, b = self.board[t1], self.board[t2]
+        self.board[t1], self.board[t2] = b, a
+
     def copy(self) -> "GameState":
         return GameState(
             board=self.board.copy(),

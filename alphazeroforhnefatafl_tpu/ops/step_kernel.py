@@ -21,10 +21,13 @@ found in log2(N) shift-AND steps; the first non-extender tile then decides
 close/fail exactly as the reference's walk does (see
 ``TaflEnv._shieldwall_captures``).
 
-Flood-fill outcomes (surround win, exit fort) stay outside the kernel in
-this version; ``TaflEnv._finish_step`` consumes this kernel's outputs so the
-outcome logic is shared with the pure-JAX path, and the two paths are
-differentially tested against each other.
+Flood-fill outcomes (enclosure/surround win and exit fort,
+``logic.rs:309-401, 572-601``) are computed IN the kernel too, as bounded
+segmented-propagation fixpoints over the cell axis. Only the cheap epilogue
+stays outside: ``TaflEnv._finish_step`` (repetition tracking + outcome
+priority select, ~40 scalar-per-game XLA ops) consumes the kernel's outputs
+so that logic is shared verbatim with the pure-JAX per-game path, and the
+two paths are differentially tested field-for-field against each other.
 """
 
 from __future__ import annotations

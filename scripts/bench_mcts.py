@@ -1,0 +1,79 @@
+"""MCTS throughput bench: simulations/s on 11x11 Copenhagen (BASELINE.md
+config 4). Run from the repo root. One JSON line per configuration.
+
+Honest TPU timing per CLAUDE.md: sync via a host-fetched checksum, amortize
+inside the search's own lax.scan (one call = num_sims waves).
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from alphazeroforhnefatafl_tpu.core.env import make_env
+from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
+from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
+
+
+def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6):
+    env = make_env("copenhagen")
+    net = make_network(env.n, channels=channels, blocks=blocks)
+    params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
+    evaluate = lambda p, obs: net.apply(p, obs)
+    cfg = MCTSConfig(
+        num_simulations=sims, max_children=children, dirichlet_eps=0.0
+    )
+    mcts = MCTS(env, evaluate, cfg)
+
+    state = env.reset_batch(batch)
+    legal = jax.jit(jax.vmap(env.legal_mask))(state)
+
+    def run(params, state, legal, rng):
+        res = mcts.search(params, state, legal, rng, add_noise=False)
+        # Consume the outputs a real caller consumes; checksum forces sync.
+        return (
+            jnp.sum(res.root_visits)
+            + jnp.sum(res.action_probs)
+            + jnp.sum(res.root_value)
+        )
+
+    run = jax.jit(run)
+    rng = jax.random.PRNGKey(1)
+
+    t0 = time.perf_counter()
+    np.asarray(run(params, state, legal, rng))
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for i in range(iters):
+        rng, sub = jax.random.split(rng)
+        checksum = run(params, state, legal, sub)
+    np.asarray(checksum)
+    dt = time.perf_counter() - t0
+    sims_per_s = batch * sims * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}",
+                "value": round(sims_per_s, 1),
+                "unit": "sims/s",
+                "compile_s": round(compile_s, 1),
+                "steady_ms_per_search": round(dt / iters * 1000, 1),
+            }
+        ),
+        flush=True,
+    )
+    return sims_per_s
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=1024)
+    p.add_argument("--sims", type=int, default=128)
+    p.add_argument("--children", type=int, default=128)
+    p.add_argument("--iters", type=int, default=4)
+    a = p.parse_args()
+    bench(a.batch, a.sims, a.children, a.iters)

@@ -17,4 +17,18 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TAFL_TEST_PLATFORM=tpu runs the suite against the real backend (used to
+# exercise the COMPILED pallas kernels; see kernel_interpret_modes).
+if os.environ.get("TAFL_TEST_PLATFORM", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+
+def kernel_interpret_modes():
+    """Pallas kernel modes to test: interpret mode always; the compiled
+    (Mosaic) kernel auto-activates when the suite runs on a TPU backend
+    (``TAFL_TEST_PLATFORM=tpu``), so a Mosaic lowering regression cannot
+    ship silently."""
+    modes = [True]
+    if jax.default_backend() == "tpu":
+        modes.append(False)
+    return modes

@@ -250,3 +250,54 @@ def test_large_board_differential(n):
         picks = rng.choice(len(plays), min(4, len(plays)), replace=False)
         for i in picks:
             h.check_play(board, side, plays[int(i)])
+
+
+# ---------------------------------------------------------------------------
+# Play-validity scenarios at every reference board width
+# (generic_test_play_validity instantiated for Small/Medium/Large/Huge,
+# game/game/logic.rs:1015-1021: there the same fixture exercises four STORAGE
+# widths u64/u128/U256/U512; the planes engine is size-generic, so the
+# equivalent is the same validity scenarios at the four reference board
+# sizes, checked in both the oracle (ordered error codes) and the JAX env
+# (legal mask)).
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [7, 11, 15, 21])
+def test_play_validity_all_reference_widths(n):
+    from alphazeroforhnefatafl_tpu.core.rules import PlayInvalid
+
+    rules = PRESETS["brandubh"][0]
+    board = np.zeros((n, n), np.int8)
+    board[0, 3] = CELL_ATT       # mover under test
+    board[0, 5] = CELL_DEF       # destination blocker
+    board[2, 3] = CELL_DEF       # mid-path blocker for (0,3)->(3,3)
+    board[2, 2] = CELL_DEF       # wrong-player piece
+    board[n - 2, n - 2] = CELL_KING
+
+    logic = GameLogic(rules, n)
+    ostate = GameState.from_fen(fen.board_to_fen(board), Side.ATTACKER)
+
+    cases = [
+        (Play.from_tiles((0, 3), (1, 3)), None),
+        (Play.from_tiles((0, 3), (0, 0)), PlayInvalid.MOVE_ONTO_BLOCKED_TILE),
+        (Play.from_tiles((1, 1), (2, 1)), PlayInvalid.NO_PIECE),
+        (Play.from_tiles((0, 3), (0, n)), PlayInvalid.OUT_OF_BOUNDS),
+        (Play.from_tiles((0, 3), (0, 6)), PlayInvalid.BLOCKED_BY_PIECE),
+        (Play.from_tiles((0, 3), (3, 3)), PlayInvalid.BLOCKED_BY_PIECE),
+        (Play.from_tiles((2, 2), (3, 2)), PlayInvalid.WRONG_PLAYER),
+    ]
+    for play, expected in cases:
+        assert logic.validate_play(play, ostate) == expected, (n, str(play))
+
+    # The JAX env's legal mask must agree wherever a mask can express it
+    # (everything except WRONG_PLAYER/OUT_OF_BOUNDS, which have no action id
+    # for the moving side / at all).
+    env = TaflEnv(rules, fen.board_to_fen(board))
+    estate = make_env_state(env, board, Side.ATTACKER)
+    mask = np.asarray(jax.jit(env.legal_mask)(estate))
+    for play, expected in cases:
+        if expected in (PlayInvalid.WRONG_PLAYER, PlayInvalid.OUT_OF_BOUNDS):
+            continue
+        aid = A.encode_from_tiles(n, play.from_tile, play.to)
+        assert bool(mask[aid]) == (expected is None), (n, str(play))

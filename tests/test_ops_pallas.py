@@ -1,9 +1,9 @@
 """Differential tests for the pallas legal-mask kernel.
 
-The kernel runs in interpret mode here (CPU suite); on TPU the same code
-compiles via Mosaic and was verified to match (see ops/legal_mask.py
-docstring). Truth is the pure-JAX ray scan, itself differentially tested
-against the oracle.
+On the CPU suite the kernel runs in interpret mode; under
+``TAFL_TEST_PLATFORM=tpu`` the same tests also run the COMPILED Mosaic
+kernel (tests/conftest.py ``kernel_interpret_modes``). Truth is the
+pure-JAX ray scan, itself differentially tested against the oracle.
 """
 
 import numpy as np
@@ -15,6 +15,7 @@ import jax.numpy as jnp
 from alphazeroforhnefatafl_tpu.core.env import make_env
 from alphazeroforhnefatafl_tpu.core.rules import CELL_ATT, CELL_DEF, CELL_KING, EMPTY
 from alphazeroforhnefatafl_tpu.ops.legal_mask import batched_legal_mask
+from tests.conftest import kernel_interpret_modes
 
 
 def random_boards(rng, n, B):
@@ -33,8 +34,9 @@ def random_boards(rng, n, B):
     return boards
 
 
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
 @pytest.mark.parametrize("preset", ["copenhagen", "brandubh", "tablut", "magpie"])
-def test_pallas_mask_matches_jax(preset):
+def test_pallas_mask_matches_jax(preset, interpret):
     env = make_env(preset)
     n = env.n
     rng = np.random.RandomState(42)
@@ -44,15 +46,16 @@ def test_pallas_mask_matches_jax(preset):
 
     ref = jax.vmap(env.legal_mask_for_side)(jnp.asarray(boards), jnp.asarray(sides))
     got = batched_legal_mask(
-        env, jnp.asarray(boards), jnp.asarray(sides), interpret=True
+        env, jnp.asarray(boards), jnp.asarray(sides), interpret=interpret
     )
     assert np.array_equal(np.asarray(ref), np.asarray(got))
 
 
-def test_pallas_mask_start_positions():
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
+def test_pallas_mask_start_positions(interpret):
     env = make_env("copenhagen")
     B = 5
     state = env.reset_batch(B)
     ref = jax.vmap(env.legal_mask_for_side)(state.board, state.side_to_play)
-    got = batched_legal_mask(env, state.board, state.side_to_play, interpret=True)
+    got = batched_legal_mask(env, state.board, state.side_to_play, interpret=interpret)
     assert np.array_equal(np.asarray(ref), np.asarray(got))

@@ -550,3 +550,29 @@ class TestPlayRecordNotation:
                 from alphazeroforhnefatafl_tpu.core import fen as fen_mod
                 assert fen_mod.tile_to_str(*t) in recs[-1]
         assert last.eq_ignore_outcome(last)
+
+
+class TestSwapPieces:
+    """Transcription of the swap_pieces fixture (game/board/state.rs:433-444):
+    swapping the king with a soldier moves the king-tracking with it."""
+
+    def test_swap_king_and_soldier(self):
+        from alphazeroforhnefatafl_tpu.core import fen as fen_mod
+        from alphazeroforhnefatafl_tpu.core.oracle import GameLogic, GameState
+        from alphazeroforhnefatafl_tpu.core.rules import (
+            BRANDUBH,
+            CELL_ATT,
+            CELL_KING,
+            Side,
+        )
+
+        st = GameState(
+            board=fen_mod.board_from_fen("5/1K3/5/5/3t1"),
+            side_to_play=Side.ATTACKER,
+        )
+        logic = GameLogic(BRANDUBH, 5)
+        assert st.board[1, 1] == CELL_KING and st.board[4, 3] == CELL_ATT
+        assert logic.get_king(st.board) == (1, 1)
+        st.swap_pieces((1, 1), (4, 3))
+        assert st.board[4, 3] == CELL_KING and st.board[1, 1] == CELL_ATT
+        assert logic.get_king(st.board) == (4, 3)

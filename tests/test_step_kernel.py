@@ -1,9 +1,10 @@
 """Differential tests for the fused pallas step kernel.
 
 ``TaflEnv.step_batch`` (kernel array phase + shared finisher) must match
-``vmap(TaflEnv.step)`` field-for-field on random playouts. The kernel runs in
-interpret mode here (CPU suite); on TPU the compiled kernel was verified to
-match the same way (see ops/step_kernel.py docstring).
+``vmap(TaflEnv.step)`` field-for-field on random playouts. On the CPU suite
+the kernel runs in interpret mode; under ``TAFL_TEST_PLATFORM=tpu`` every
+test here also runs the COMPILED Mosaic kernel (tests/conftest.py
+``kernel_interpret_modes``), so lowering regressions fail the suite.
 """
 
 import numpy as np
@@ -13,6 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from alphazeroforhnefatafl_tpu.core.env import make_env
+from tests.conftest import kernel_interpret_modes
 
 STATE_FIELDS = [
     "board",
@@ -39,8 +41,9 @@ INFO_FIELDS = [
 ]
 
 
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
 @pytest.mark.parametrize("preset", ["brandubh", "copenhagen", "tablut", "magpie"])
-def test_step_batch_matches_vmap_step(preset):
+def test_step_batch_matches_vmap_step(preset, interpret):
     env = make_env(preset)
     B, steps = 6, 24
     rng = np.random.RandomState(hash(preset) % (2**31))
@@ -48,7 +51,7 @@ def test_step_batch_matches_vmap_step(preset):
     vstep = jax.jit(
         lambda s, a: jax.vmap(lambda ss, aa: env.step(ss, aa, validate=False))(s, a)
     )
-    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))
+    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=interpret))
     mask_fn = jax.jit(jax.vmap(env.legal_mask))
 
     for t in range(steps):
@@ -82,7 +85,8 @@ def test_step_batch_matches_vmap_step(preset):
             )
 
 
-def test_step_batch_shieldwall_fixture():
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
+def test_step_batch_shieldwall_fixture(interpret):
     """The corner-closing shieldwall fixture through the fused kernel
     (game/game/logic.rs:1108-1123)."""
     from alphazeroforhnefatafl_tpu.core import actions as A
@@ -93,12 +97,13 @@ def test_step_batch_shieldwall_fixture():
     state = env.reset()  # attacker to move
     states = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), state)
     action = jnp.asarray([A.encode_from_tiles(9, (4, 6), (4, 8))], jnp.int32)
-    _, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))(states, action)
+    _, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=interpret))(states, action)
     caps = {tuple(t) for t in np.argwhere(np.asarray(info.captures[0]))}
     assert caps == {(5, 8), (6, 8), (7, 8)}
 
 
-def test_step_batch_exit_fort_fixture():
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
+def test_step_batch_exit_fort_fixture(interpret):
     """A defender move completing a bulge exit fort (logic.rs:1215-1233)
     through the fused kernel must end the game with an ExitFort win."""
     from alphazeroforhnefatafl_tpu.core import actions as A
@@ -109,13 +114,14 @@ def test_step_batch_exit_fort_fixture():
     state = env.reset().replace(side_to_play=jnp.int32(1))
     states = jax.tree_util.tree_map(lambda x: jnp.broadcast_to(x, (1,) + x.shape), state)
     action = jnp.asarray([A.encode_from_tiles(9, (4, 5), (5, 5))], jnp.int32)
-    ns, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))(states, action)
+    ns, info = jax.jit(lambda s, a: env.step_batch(s, a, interpret=interpret))(states, action)
     assert not bool(info.invalid[0])
     assert int(ns.result[0]) == WIN_DEFENDER
     assert int(ns.reason[0]) == int(WinReason.EXIT_FORT)
 
 
-def test_step_batch_dense_boards():
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
+def test_step_batch_dense_boards(interpret):
     """Dense random boards fire captures/shieldwalls/flood-fill outcomes far
     more often than playouts from the start position; the kernel must match
     vmap(step) on them field-for-field."""
@@ -128,7 +134,7 @@ def test_step_batch_dense_boards():
     vstep = jax.jit(
         lambda s, a: jax.vmap(lambda ss, aa: env.step(ss, aa, validate=False))(s, a)
     )
-    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=True))
+    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=interpret))
     mask_fn = jax.jit(jax.vmap(env.legal_mask))
 
     for round_i in range(4):

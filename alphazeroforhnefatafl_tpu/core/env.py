@@ -311,6 +311,26 @@ class TaflEnv:
         m = self.legal_mask_for_side(state.board, state.side_to_play)
         return m & ~state.terminated
 
+    def legal_mask_many(self, states: EnvState, *, interpret: bool = False) -> jax.Array:
+        """Batched root legal mask with backend dispatch: the fused pallas
+        ray-scan kernel (ops/legal_mask.py) on TPU, ``vmap(legal_mask)``
+        elsewhere. Used by the self-play/arena root-mask sites; step-time
+        masks come fused out of the step kernel instead (``info.legal_mask``).
+
+        Note: like :meth:`step_many`, the kernel path assumes the batch is
+        addressable on one device program (single chip or per-shard inside
+        ``shard_map``); dp-sharded multi-chip TPU callers currently take the
+        vmap path on the sharded batch.
+        """
+        if jax.devices()[0].platform == "tpu":
+            from ..ops.legal_mask import batched_legal_mask
+
+            m = batched_legal_mask(
+                self, states.board, states.side_to_play, interpret=interpret
+            )
+            return m & ~states.terminated[:, None]
+        return jax.vmap(self.legal_mask)(states)
+
     # ------------------------------------------------------------------
     # Hostility boards (logic.rs:76-114)
     # ------------------------------------------------------------------

@@ -38,6 +38,7 @@ is available for self-play exploration.
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Any, Callable, Tuple
 
@@ -74,12 +75,33 @@ class MCTSConfig:
     #: elsewhere). Only affects WHICH of the >max_children lowest-prior
     #: candidates are kept; exact/approx agree on clear-cut priors.
     topk: str = "auto"
+    #: Root action selection: "puct" (the reference's scheme with optional
+    #: Dirichlet noise) or "gumbel" (Gumbel top-m + sequential halving with
+    #: completed Q-values, Danihelka et al. 2022 — more strength per
+    #: simulation at the 64-128 sim budgets the training loop uses;
+    #: interior selection stays PUCT). With "gumbel", play the returned
+    #: ``best_action`` (exploration comes from the sampled Gumbels, not a
+    #: temperature), and ``action_probs`` is the improved policy
+    #: ``softmax(logits + sigma(completed Q))`` — the training target.
+    root_selection: str = "puct"
+    gumbel_considered: int = 16  # max root candidates entering halving
+    gumbel_cvisit: float = 50.0  # sigma(q) = (cvisit + max_N) * cscale * q
+    gumbel_cscale: float = 1.0
 
 
 class Tree(struct.PyTreeNode):
     """Array-tree for one game's search (batched with a leading B axis).
 
     ``M = num_simulations + 1`` node slots, ``K = max_children`` edge slots.
+
+    Edge statistics (the reference's ``Qsa``/``Nsa``) are keyed by CHILD NODE
+    rather than by (node, slot): in a tree (no transpositions) every
+    materialized edge maps 1:1 to the node it leads into, so ``edge_N[m]`` /
+    ``edge_W[m]`` are the visit count and total value of the edge INTO node
+    ``m`` (from the perspective of the parent's mover). This keeps the
+    per-wave backup traffic at O(M) per game instead of O(M*K) — the
+    [B, M, K] stat buffers were the dominant HBM cost at large simulation
+    counts (docs/DESIGN.md).
     """
 
     state: EnvState  # [M, ...] env state at each node
@@ -89,16 +111,17 @@ class Tree(struct.PyTreeNode):
     node_N: jax.Array  # i32[M]  (Ns)
     child_action: jax.Array  # i32[M, K], -1 = empty slot
     child_prior: jax.Array  # f32[M, K]
-    child_N: jax.Array  # i32[M, K]  (Nsa)
-    child_W: jax.Array  # f32[M, K]  (Nsa * Qsa)
     child_node: jax.Array  # i32[M, K], -1 = not yet materialized
+    edge_N: jax.Array  # i32[M]  (Nsa of the edge into node m)
+    edge_W: jax.Array  # f32[M]  (sum of backed-up values, parent-mover persp.)
     n_nodes: jax.Array  # i32 allocated slots (one per wave; some unlinked)
 
 
 class SearchResult(struct.PyTreeNode):
-    action_probs: jax.Array  # f32[B, A] visit-count policy
+    action_probs: jax.Array  # f32[B, A] visit-count (puct) / improved (gumbel) policy
     root_value: jax.Array  # f32[B] mean root value (mover perspective)
     root_visits: jax.Array  # i32[B]
+    best_action: jax.Array  # i32[B] action to play (gumbel: the halving winner)
     tree: Any  # final Tree (batched), for inspection/reuse
 
 
@@ -111,6 +134,27 @@ def terminal_value(state: EnvState) -> jax.Array:
         1.0,
         jnp.where(state.result == (1 - side), -1.0, 0.0),
     ).astype(jnp.float32)
+
+
+def _sh_considered_schedule(sims: int, m0: int) -> list:
+    """Sequential-halving schedule: entry w = size of the considered root
+    candidate set at simulation w. ~log2(m0) equal-budget phases, candidates
+    halving between phases, leftover simulations spent on the final
+    two-candidate phase; the per-wave "least-visited among considered" rule
+    spreads each phase's budget evenly over its candidates."""
+    if m0 <= 1:
+        return [1] * sims
+    phases = max(1, math.ceil(math.log2(m0)))
+    base = sims // phases
+    out = []
+    m = m0
+    for p in range(phases):
+        budget = base if p < phases - 1 else sims - base * (phases - 1)
+        out.extend([m] * budget)
+        m = max(2, m // 2)
+    while len(out) < sims:
+        out.append(2)
+    return out[:sims]
 
 
 def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
@@ -164,9 +208,9 @@ class MCTS:
             node_N=jnp.zeros((M,), jnp.int32),
             child_action=jnp.full((M, K), -1, jnp.int32),
             child_prior=jnp.zeros((M, K), jnp.float32),
-            child_N=jnp.zeros((M, K), jnp.int32),
-            child_W=jnp.zeros((M, K), jnp.float32),
             child_node=jnp.full((M, K), -1, jnp.int32),
+            edge_N=jnp.zeros((M,), jnp.int32),
+            edge_W=jnp.zeros((M,), jnp.float32),
             n_nodes=jnp.int32(1),
         )
 
@@ -186,9 +230,16 @@ class MCTS:
     # -------------------- selection --------------------
 
     def _select_slot(self, tree: Tree, node: jax.Array) -> jax.Array:
-        """PUCT argmax over the node's edge slots (``src/mcts.py:109-121``)."""
-        N = tree.child_N[node]
-        W = tree.child_W[node]
+        """PUCT argmax over the node's edge slots (``src/mcts.py:109-121``).
+
+        Edge stats come from the child-node-keyed ``edge_N``/``edge_W``
+        buffers; unmaterialized edges (child < 0) read as N=0, W=0 — exactly
+        the unvisited-edge formula of the reference.
+        """
+        c = tree.child_node[node]  # [K]
+        safe = jnp.maximum(c, 0)
+        N = jnp.where(c >= 0, tree.edge_N[safe], 0)
+        W = jnp.where(c >= 0, tree.edge_W[safe], 0.0)
         P = tree.child_prior[node]
         Ns = tree.node_N[node].astype(jnp.float32)
         Q = jnp.where(N > 0, W / jnp.maximum(N, 1), 0.0)
@@ -196,8 +247,11 @@ class MCTS:
         u = jnp.where(tree.child_action[node] >= 0, u, NEG_INF)
         return jnp.argmax(u).astype(jnp.int32)
 
-    def _traverse(self, tree: Tree):
+    def _traverse(self, tree: Tree, forced_root_slot: jax.Array):
         """Walk from the root to a leaf edge without stepping the env.
+
+        ``forced_root_slot``: edge slot to take at the root, or -1 for PUCT
+        (the Gumbel sequential-halving driver forces root candidates).
 
         Returns (path_nodes, path_slots, depth, leaf_parent, leaf_slot,
         at_node_leaf, leaf_node): ``at_node_leaf`` means the walk stopped at
@@ -216,6 +270,10 @@ class MCTS:
             is_leaf_node = ~tree.expanded[node] | tree.terminal[node]
 
             slot = self._select_slot(tree, node)
+            # Node 0 is only ever visited as the root.
+            slot = jnp.where(
+                (node == 0) & (forced_root_slot >= 0), forced_root_slot, slot
+            )
             child = tree.child_node[node, slot]
             hit_edge = ~is_leaf_node & (child < 0)
             descend = ~is_leaf_node & (child >= 0)
@@ -393,34 +451,37 @@ class MCTS:
         v = jnp.where(leaf_terminal, leaf_tv, nn_value)  # [B]
 
         # Negamax backup along the recorded paths (src/mcts.py:125-136) as
-        # one-hot path matmuls on the MXU — a sequential per-level scatter
-        # loop measured ~5 ms/wave at 1024 games. Path position j (0 = root
-        # edge) receives v * (-1)^(depth - j).
+        # one-hot path reductions. Edge stats are keyed by child node, so the
+        # edge at path level j is identified by the node it leads INTO: the
+        # next node on the path for interior levels, the leaf at the last
+        # level. The update buffers are [B, M] — the old (node, slot)-keyed
+        # form accumulated through [B, M, K] einsum outputs, whose HBM
+        # traffic dominated large-simulation searches. Path position j
+        # (0 = root edge) receives v * (-1)^(depth - j).
+        B = v.shape[0]
         depth = t["depth"]  # [B]
         D = t["path_nodes"].shape[1]
         j = jnp.arange(D)[None, :]
         on_path = j < depth[:, None]  # [B, D]
+        path_child = jnp.concatenate(
+            [t["path_nodes"][:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
+        )
+        path_child = jnp.where(j == depth[:, None] - 1, leaf[:, None], path_child)
         sign_v = jnp.where((depth[:, None] - j) % 2 == 1, -v[:, None], v[:, None])
         sign_v = sign_v * on_path  # [B, D]
-        P = (
-            (t["path_nodes"][:, :, None] == jnp.arange(M)[None, None, :])
-            & on_path[:, :, None]
-        ).astype(jnp.float32)  # [B, D, M]
-        S = (
-            t["path_slots"][:, :, None] == jnp.arange(K)[None, None, :]
-        ).astype(jnp.float32)  # [B, D, K]
-        w_add = jnp.einsum(
-            "bjm,bjk->bmk", P, S * sign_v[:, :, None],
-            preferred_element_type=jnp.float32,
-        )
-        n_add = jnp.einsum(
-            "bjm,bjk->bmk", P, S * on_path[:, :, None].astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
+        # Compare-multiply-reduce over the path axis: the [B, D, M] compares
+        # stay inside the reduce fusion (an einsum here would materialize
+        # [B, D, M] f32 MXU operands — ~200 MB at B=1024, M=801).
+        m_ids = jnp.arange(M)[None, None, :]
+        C = (path_child[:, :, None] == m_ids) & on_path[:, :, None]  # [B, D, M]
+        w_add = jnp.sum(jnp.where(C, sign_v[:, :, None], 0.0), axis=1)  # [B, M]
+        n_add = jnp.sum(C.astype(jnp.int32), axis=1)  # [B, M]
+        Pn = (t["path_nodes"][:, :, None] == m_ids) & on_path[:, :, None]
+        node_add = jnp.sum(Pn.astype(jnp.int32), axis=1)
         return tree.replace(
-            child_W=tree.child_W + w_add,
-            child_N=tree.child_N + n_add.astype(jnp.int32),
-            node_N=tree.node_N + jnp.sum(P, axis=1).astype(jnp.int32),
+            edge_W=tree.edge_W + w_add,
+            edge_N=tree.edge_N + n_add,
+            node_N=tree.node_N + node_add,
         )
 
     # -------------------- public API --------------------
@@ -440,12 +501,13 @@ class MCTS:
         """
         B = root_legal.shape[0]
         cfg = self.config
+        use_gumbel = cfg.root_selection == "gumbel"
 
         # Root evaluation + expansion (the first leaf visit of the root).
         obs = jax.vmap(self.env.observe)(root_state)
-        logits, _ = self.evaluate(params, obs)
+        logits, root_nn_value = self.evaluate(params, obs)
         priors = _masked_priors(logits, root_legal)
-        if add_noise and cfg.dirichlet_eps > 0:
+        if (not use_gumbel) and add_noise and cfg.dirichlet_eps > 0:
             rng, sub = jax.random.split(rng)
             n_legal = jnp.maximum(
                 jnp.sum(root_legal, axis=-1, keepdims=True), 1
@@ -465,8 +527,69 @@ class MCTS:
         tree = jax.vmap(self._empty_tree)(root_state)
         tree = jax.vmap(self._expand_node)(tree, jnp.zeros((B,), jnp.int32), priors)
 
-        def sim_step(tree, wave):
-            t = jax.vmap(self._traverse)(tree)
+        # --- Gumbel sequential-halving root driver (Danihelka et al. 2022).
+        # Root candidates are the expanded edge slots; each wave forces the
+        # least-visited slot of the current considered set (size from the
+        # static halving schedule), ranked by g + logits + sigma(completed Q).
+        K = cfg.max_children
+        if use_gumbel:
+            slot_valid = tree.child_action[:, 0, :] >= 0  # [B, K]
+            root_slot_logits = jnp.where(
+                slot_valid,
+                jnp.log(jnp.maximum(tree.child_prior[:, 0, :], 1e-30)),
+                NEG_INF,
+            )
+            rng, g_rng = jax.random.split(rng)
+            gumbel = (
+                jax.random.gumbel(g_rng, root_slot_logits.shape)
+                if add_noise
+                else jnp.zeros_like(root_slot_logits)
+            )
+            m0 = max(2, min(cfg.gumbel_considered, K))
+            m_sched = jnp.asarray(
+                _sh_considered_schedule(cfg.num_simulations, m0), jnp.int32
+            )
+        else:
+            m_sched = jnp.zeros((cfg.num_simulations,), jnp.int32)
+
+        def root_completed_q(tree):
+            """Per root slot: completed Q (root-mover persp.; unvisited slots
+            take the root NN value) and visit count."""
+            c = tree.child_node[:, 0, :]  # [B, K]
+            safe = jnp.maximum(c, 0)
+            N = jnp.where(c >= 0, jnp.take_along_axis(tree.edge_N, safe, axis=1), 0)
+            W = jnp.where(
+                c >= 0, jnp.take_along_axis(tree.edge_W, safe, axis=1), 0.0
+            )
+            q = jnp.where(N > 0, W / jnp.maximum(N, 1), root_nn_value[:, None])
+            return q, N
+
+        def gumbel_sigma(q, N):
+            max_n = jnp.max(N, axis=-1, keepdims=True).astype(jnp.float32)
+            return (cfg.gumbel_cvisit + max_n) * cfg.gumbel_cscale * q
+
+        def sim_step(tree, xs):
+            wave, m_considered = xs
+            if use_gumbel:
+                q, N = root_completed_q(tree)
+                score = jnp.where(
+                    slot_valid, gumbel + root_slot_logits + gumbel_sigma(q, N),
+                    NEG_INF,
+                )
+                desc = -jnp.sort(-score, axis=-1)
+                kth = jax.lax.dynamic_index_in_dim(
+                    desc, m_considered - 1, axis=1, keepdims=False
+                )
+                considered = score >= kth[:, None]
+                # Least-visited of the considered set, score as tie-break
+                # (score spans « 1e5, so the keys cannot collide).
+                pick = jnp.where(
+                    considered, -N.astype(jnp.float32) * 1e5 + score, NEG_INF
+                )
+                forced = jnp.argmax(pick, axis=-1).astype(jnp.int32)
+            else:
+                forced = jnp.full((B,), -1, jnp.int32)
+            t = jax.vmap(self._traverse)(tree, forced)
             parent_state, actions = jax.vmap(self._gather_parent)(tree, t)
             # Batched env step — the fused pallas kernel on TPU. Its
             # info.legal_mask is the leaf's mask for prior computation.
@@ -498,12 +621,20 @@ class MCTS:
             return tree, None
 
         tree, _ = jax.lax.scan(
-            sim_step, tree, jnp.arange(cfg.num_simulations, dtype=jnp.int32)
+            sim_step,
+            tree,
+            (jnp.arange(cfg.num_simulations, dtype=jnp.int32), m_sched),
         )
 
-        # Visit-count policy at the root (src/mcts.py:40-41).
+        # Visit-count policy at the root (src/mcts.py:40-41): each root edge's
+        # visit count lives on its child node.
         A = root_legal.shape[-1]
-        root_counts = tree.child_N[:, 0, :].astype(jnp.float32)  # [B, K]
+        root_children = tree.child_node[:, 0, :]  # [B, K]
+        edge_ok = root_children >= 0
+        safe_c = jnp.maximum(root_children, 0)
+        root_counts = jnp.where(
+            edge_ok, jnp.take_along_axis(tree.edge_N, safe_c, axis=1), 0
+        ).astype(jnp.float32)  # [B, K]
         root_actions = tree.child_action[:, 0, :]  # [B, K]
         valid = root_actions >= 0
         probs = jnp.zeros((B, A), jnp.float32)
@@ -515,12 +646,41 @@ class MCTS:
         probs = probs / total
 
         root_visits = tree.node_N[:, 0]
-        root_W = jnp.sum(jnp.where(valid, tree.child_W[:, 0, :], 0.0), axis=-1)
+        root_W = jnp.sum(
+            jnp.where(edge_ok, jnp.take_along_axis(tree.edge_W, safe_c, axis=1), 0.0),
+            axis=-1,
+        )
         root_value = root_W / jnp.maximum(root_visits.astype(jnp.float32), 1.0)
+
+        if use_gumbel:
+            # Winner = argmax of g + logits + sigma(completed Q) among the
+            # visited candidates; improved policy (the training target) =
+            # softmax(logits + sigma(completed Q)) over the root slots.
+            q, N = root_completed_q(tree)
+            sigma = gumbel_sigma(q, N)
+            score = jnp.where(slot_valid, gumbel + root_slot_logits + sigma, NEG_INF)
+            visited_any = jnp.any(N > 0, axis=-1, keepdims=True)
+            win_score = jnp.where(visited_any, jnp.where(N > 0, score, NEG_INF), score)
+            win_slot = jnp.argmax(win_score, axis=-1)
+            best_action = jnp.maximum(
+                jnp.take_along_axis(root_actions, win_slot[:, None], axis=1)[:, 0], 0
+            )
+            imp = jax.nn.softmax(
+                jnp.where(slot_valid, root_slot_logits + sigma, NEG_INF), axis=-1
+            ) * slot_valid
+            probs = jnp.zeros((B, A), jnp.float32)
+            probs = probs.at[batch_idx, jnp.maximum(root_actions, 0)].add(
+                jnp.where(valid, imp, 0.0)
+            )
+            probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-30)
+        else:
+            best_action = jnp.argmax(probs, axis=-1)
+
         return SearchResult(
             action_probs=probs,
             root_value=root_value,
             root_visits=root_visits,
+            best_action=best_action.astype(jnp.int32),
             tree=tree,
         )
 

@@ -158,11 +158,14 @@ def play_match(
     )
 
     def move(stacked, i0, states, rng):
-        legal = jax.vmap(env.legal_mask)(states)
+        legal = env.legal_mask_many(states)
         result = mcts.search((stacked, i0), states, legal, rng, add_noise=False)
-        actions = select_actions(
-            result.action_probs, legal, jnp.zeros((B,)), rng
-        )
+        if mcts_config.root_selection == "gumbel":
+            actions = result.best_action
+        else:
+            actions = select_actions(
+                result.action_probs, legal, jnp.zeros((B,)), rng
+            )
         new_states, _ = env.step_many(states, actions)
         return new_states
 

@@ -85,9 +85,14 @@ class SelfPlayActor:
 
         def move_fn(params, states, temps, rng):
             rng, r_search, r_sample = jax.random.split(rng, 3)
-            legal = jax.vmap(env.legal_mask)(states)
+            legal = env.legal_mask_many(states)
             result = self.mcts.search(params, states, legal, r_search, add_noise=True)
-            actions = select_actions(result.action_probs, legal, temps, r_sample)
+            if mcts_config.root_selection == "gumbel":
+                # Exploration comes from the sampled root Gumbels; play the
+                # sequential-halving winner (no temperature).
+                actions = result.best_action
+            else:
+                actions = select_actions(result.action_probs, legal, temps, r_sample)
             new_states, info = env.step_many(states, actions)
             # Sparse top-K policy target.
             top_p, top_a = jax.lax.top_k(result.action_probs, config.policy_k)

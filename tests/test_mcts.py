@@ -266,9 +266,10 @@ def test_mcts_differential(preset):
         )
 
 
-def test_mcts_finds_king_escape():
+@pytest.mark.parametrize("root_selection", ["puct", "gumbel"])
+def test_mcts_finds_king_escape(root_selection):
     """Defender to move, king one step from a corner: search must pile visits
-    on the escaping move."""
+    on the escaping move (both root-selection schemes)."""
     env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
     # King at (0, 3): a6-a7... row 0, col 3; corner at (0, 0) reachable?
     # Use king at (0, 2) with clear path to (0, 0).
@@ -280,20 +281,29 @@ def test_mcts_finds_king_escape():
     )
     state_b = jax.tree_util.tree_map(lambda x: x[None], s)
     legal_b = jax.vmap(env.legal_mask)(state_b)
-    cfg = MCTSConfig(num_simulations=64, max_children=64, dirichlet_eps=0.0, max_depth=32)
+    cfg = MCTSConfig(
+        num_simulations=64, max_children=64, dirichlet_eps=0.0, max_depth=32,
+        root_selection=root_selection,
+    )
     result = run_jax_mcts(env, cfg, state_b, legal_b)
     probs = np.asarray(result.action_probs)[0]
     wins = {
         A.encode_from_tiles(7, (0, 2), (0, 0)),  # escape left
         A.encode_from_tiles(7, (0, 2), (0, 6)),  # escape right
     }
-    assert int(probs.argmax()) in wins, (
-        f"best move {probs.argmax()} (p={probs.max():.3f}) is not an escape"
+    assert int(result.best_action[0]) in wins, (
+        f"best move {int(result.best_action[0])} (p={probs.max():.3f}) "
+        f"is not an escape"
     )
-    assert float(result.root_value[0]) > 0.3
+    assert int(probs.argmax()) in wins
+    if root_selection == "puct":
+        # Visit-weighted mean root value; gumbel's halving deliberately
+        # spreads visits over losing candidates, keeping the mean low.
+        assert float(result.root_value[0]) > 0.3
 
 
-def test_mcts_finds_king_capture():
+@pytest.mark.parametrize("root_selection", ["puct", "gumbel"])
+def test_mcts_finds_king_capture(root_selection):
     """Attacker to move, king capturable in one move."""
     env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
     from alphazeroforhnefatafl_tpu.core import fen as F
@@ -307,9 +317,56 @@ def test_mcts_finds_king_capture():
     )
     state_b = jax.tree_util.tree_map(lambda x: x[None], s)
     legal_b = jax.vmap(env.legal_mask)(state_b)
-    cfg = MCTSConfig(num_simulations=64, max_children=64, dirichlet_eps=0.0, max_depth=32)
+    cfg = MCTSConfig(
+        num_simulations=64, max_children=64, dirichlet_eps=0.0, max_depth=32,
+        root_selection=root_selection,
+    )
     result = run_jax_mcts(env, cfg, state_b, legal_b)
     probs = np.asarray(result.action_probs)[0]
     win = A.encode_from_tiles(7, (5, 6), (5, 5))
+    assert int(result.best_action[0]) == win
     assert probs[win] == probs.max()
-    assert float(result.root_value[0]) > 0.3
+    if root_selection == "puct":
+        assert float(result.root_value[0]) > 0.3
+
+
+def test_gumbel_policy_properties():
+    """Gumbel search: improved policy is a legal distribution, the halving
+    winner is legal, noise-controlled determinism holds, and the considered
+    schedule is well-formed."""
+    from alphazeroforhnefatafl_tpu.search.mcts import _sh_considered_schedule
+
+    sched = _sh_considered_schedule(64, 16)
+    assert len(sched) == 64
+    assert sched[0] == 16 and sched[-1] == 2
+    assert all(a >= b for a, b in zip(sched, sched[1:]))  # monotone halving
+    assert _sh_considered_schedule(8, 1) == [1] * 8
+
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    cfg = MCTSConfig(
+        num_simulations=24, max_children=32, dirichlet_eps=0.0, max_depth=16,
+        root_selection="gumbel",
+    )
+    mcts = MCTS(env, make_fake_evaluate(env), cfg)
+    state_b = jax.tree_util.tree_map(lambda x: x[None], env.reset())
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    search = jax.jit(
+        lambda s, l, r, noise: mcts.search(None, s, l, r, add_noise=noise),
+        static_argnames="noise",
+    )
+
+    r1 = search(state_b, legal_b, jax.random.PRNGKey(3), True)
+    probs = np.asarray(r1.action_probs)[0]
+    legal = np.asarray(legal_b)[0]
+    assert abs(probs.sum() - 1.0) < 1e-5
+    assert probs[~legal].sum() == 0.0
+    assert legal[int(r1.best_action[0])]
+
+    # Same key => same winner; different key => gumbel noise can change it.
+    r2 = search(state_b, legal_b, jax.random.PRNGKey(3), True)
+    assert int(r1.best_action[0]) == int(r2.best_action[0])
+
+    # Noise-free search ignores the key entirely.
+    r3 = search(state_b, legal_b, jax.random.PRNGKey(4), False)
+    r4 = search(state_b, legal_b, jax.random.PRNGKey(5), False)
+    assert int(r3.best_action[0]) == int(r4.best_action[0])

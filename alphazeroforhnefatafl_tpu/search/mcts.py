@@ -75,6 +75,16 @@ class MCTSConfig:
     #: elsewhere). Only affects WHICH of the >max_children lowest-prior
     #: candidates are kept; exact/approx agree on clear-cut priors.
     topk: str = "auto"
+    #: Tree levels advanced per traversal while-loop iteration. Measured on
+    #: the tunneled v5e: one while iteration costs ~0.6 ms regardless of its
+    #: body (row gathers are ~0.03 ms each), so unrolling U levels per
+    #: iteration divides the dominant large-tree search cost by ~U.
+    traverse_unroll: int = 4
+    #: Negamax backup form: "dense" (one-hot einsum over [B, M, K] — cheapest
+    #: when the stat buffers are small), "scatter" (one fused scatter-add
+    #: over the [B, D] path indices — M-independent, wins on big trees), or
+    #: "auto" (dense iff M*K <= 32768).
+    backup: str = "auto"
     #: Root action selection: "puct" (the reference's scheme with optional
     #: Dirichlet noise) or "gumbel" (Gumbel top-m + sequential halving with
     #: completed Q-values, Danihelka et al. 2022 — more strength per
@@ -94,26 +104,24 @@ class Tree(struct.PyTreeNode):
 
     ``M = num_simulations + 1`` node slots, ``K = max_children`` edge slots.
 
-    Edge statistics (the reference's ``Qsa``/``Nsa``) are keyed by CHILD NODE
-    rather than by (node, slot): in a tree (no transpositions) every
-    materialized edge maps 1:1 to the node it leads into, so ``edge_N[m]`` /
-    ``edge_W[m]`` are the visit count and total value of the edge INTO node
-    ``m`` (from the perspective of the parent's mover). This keeps the
-    per-wave backup traffic at O(M) per game instead of O(M*K) — the
-    [B, M, K] stat buffers were the dominant HBM cost at large simulation
-    counts (docs/DESIGN.md).
+    Stat layout (measured on the tunneled v5e, docs/DESIGN.md): traversal
+    reads stats per LEVEL, so they live in (node, slot)-keyed [M, K] buffers
+    reachable with B-index row gathers (the cheap gather class; per-element
+    [B, K]-index gathers lower near-serially and cost ~50x more). The
+    reference's ``Ns`` needs no buffer of its own: every interior pass takes
+    exactly one edge, so ``Ns(node) == sum_k Nsa(node, k)`` and it is
+    recomputed from the gathered stat row at selection time.
     """
 
     state: EnvState  # [M, ...] env state at each node
     expanded: jax.Array  # bool[M]
     terminal: jax.Array  # bool[M]
     terminal_value: jax.Array  # f32[M] value from node-mover's perspective
-    node_N: jax.Array  # i32[M]  (Ns)
     child_action: jax.Array  # i32[M, K], -1 = empty slot
     child_prior: jax.Array  # f32[M, K]
+    child_N: jax.Array  # i32[M, K]  (Nsa)
+    child_W: jax.Array  # f32[M, K]  (sum of backed-up values, node-mover persp.)
     child_node: jax.Array  # i32[M, K], -1 = not yet materialized
-    edge_N: jax.Array  # i32[M]  (Nsa of the edge into node m)
-    edge_W: jax.Array  # f32[M]  (sum of backed-up values, parent-mover persp.)
     n_nodes: jax.Array  # i32 allocated slots (one per wave; some unlinked)
 
 
@@ -205,12 +213,11 @@ class MCTS:
             terminal_value=jnp.zeros((M,), jnp.float32)
             .at[0]
             .set(terminal_value(root_state)),
-            node_N=jnp.zeros((M,), jnp.int32),
             child_action=jnp.full((M, K), -1, jnp.int32),
             child_prior=jnp.zeros((M, K), jnp.float32),
+            child_N=jnp.zeros((M, K), jnp.int32),
+            child_W=jnp.zeros((M, K), jnp.float32),
             child_node=jnp.full((M, K), -1, jnp.int32),
-            edge_N=jnp.zeros((M,), jnp.int32),
-            edge_W=jnp.zeros((M,), jnp.float32),
             n_nodes=jnp.int32(1),
         )
 
@@ -232,16 +239,13 @@ class MCTS:
     def _select_slot(self, tree: Tree, node: jax.Array) -> jax.Array:
         """PUCT argmax over the node's edge slots (``src/mcts.py:109-121``).
 
-        Edge stats come from the child-node-keyed ``edge_N``/``edge_W``
-        buffers; unmaterialized edges (child < 0) read as N=0, W=0 — exactly
-        the unvisited-edge formula of the reference.
+        All reads are B-index row gathers of the [M, K] stat buffers — the
+        cheap gather class on TPU (see Tree docstring).
         """
-        c = tree.child_node[node]  # [K]
-        safe = jnp.maximum(c, 0)
-        N = jnp.where(c >= 0, tree.edge_N[safe], 0)
-        W = jnp.where(c >= 0, tree.edge_W[safe], 0.0)
+        N = tree.child_N[node]
+        W = tree.child_W[node]
         P = tree.child_prior[node]
-        Ns = tree.node_N[node].astype(jnp.float32)
+        Ns = jnp.sum(N).astype(jnp.float32)  # Ns == sum of edge visits
         Q = jnp.where(N > 0, W / jnp.maximum(N, 1), 0.0)
         u = Q + self.config.cpuct * P * jnp.sqrt(Ns + EPS) / (1.0 + N)
         u = jnp.where(tree.child_action[node] >= 0, u, NEG_INF)
@@ -265,7 +269,8 @@ class MCTS:
         def cond(c):
             return ~c["done"]
 
-        def body(c):
+        def level(c):
+            """Advance one tree level; a no-op once the walk is done."""
             node = c["node"]
             is_leaf_node = ~tree.expanded[node] | tree.terminal[node]
 
@@ -291,7 +296,7 @@ class MCTS:
             new_depth = c["depth"] + record.astype(jnp.int32)
 
             done = is_leaf_node | hit_edge | (descend & depth_capped)
-            return {
+            new = {
                 "node": jnp.where(descend, child, node),
                 "depth": new_depth,
                 "done": done,
@@ -301,6 +306,16 @@ class MCTS:
                 "path_nodes": path_nodes,
                 "path_slots": path_slots,
             }
+            was_done = c["done"]
+            return {k: jnp.where(was_done, c[k], v) for k, v in new.items()}
+
+        def body(c):
+            # One while-loop iteration costs ~0.6 ms on this backend
+            # regardless of its body (docs/DESIGN.md), so advance several
+            # masked levels per iteration.
+            for _ in range(max(1, self.config.traverse_unroll)):
+                c = level(c)
+            return c
 
         init = {
             "node": jnp.int32(0),
@@ -393,19 +408,21 @@ class MCTS:
         terminal = wr(tree.terminal, child_state.terminated)
         tvals = jax.vmap(terminal_value)(child_state)
         tval_buf = wr(tree.terminal_value, tvals)
-        # The parent->child link is per-game (parent, slot): a dense one-hot
-        # masked write over [B, M, K] (cheap relative to the state buffers).
-        at_ps = (
-            ((jnp.arange(M)[None, :] == t["leaf_parent"][:, None]) & make_new[:, None])[
-                :, :, None
-            ]
-            & (jnp.arange(K)[None, :] == t["leaf_slot"][:, None])[:, None, :]
-        )
+        # The parent->child link is per-game (parent, slot): one B-index
+        # scatter-add. Unmaterialized links hold -1, so adding new_idx + 1
+        # sets them to new_idx; masked games add 0 (no-op at their clamped
+        # index). A dense one-hot masked write here would re-stream the
+        # whole [B, M, K] buffer every wave.
+        b_ids = jnp.arange(t["leaf_parent"].shape[0])
+        delta = jnp.where(make_new, new_idx + 1, 0)
+        child_node = tree.child_node.at[
+            b_ids, jnp.maximum(t["leaf_parent"], 0), jnp.maximum(t["leaf_slot"], 0)
+        ].add(delta)
         tree = tree.replace(
             state=state,
             terminal=terminal,
             terminal_value=tval_buf,
-            child_node=jnp.where(at_ps, new_idx, tree.child_node),
+            child_node=child_node,
             n_nodes=jnp.full_like(tree.n_nodes, new_idx + 1),
         )
         leaf = jnp.where(at_node_leaf, t["node"], new_idx)
@@ -450,54 +467,61 @@ class MCTS:
 
         v = jnp.where(leaf_terminal, leaf_tv, nn_value)  # [B]
 
-        # Negamax backup along the recorded paths (src/mcts.py:125-136) as
-        # one-hot path reductions. Edge stats are keyed by child node, so the
-        # edge at path level j is identified by the node it leads INTO: the
-        # next node on the path for interior levels, the leaf at the last
-        # level. The update buffers are [B, M] — the old (node, slot)-keyed
-        # form accumulated through [B, M, K] einsum outputs, whose HBM
-        # traffic dominated large-simulation searches. Path position j
-        # (0 = root edge) receives v * (-1)^(depth - j).
+        # Negamax backup along the recorded paths (src/mcts.py:125-136).
+        # Path position j (0 = root edge) receives v * (-1)^(depth - j).
+        # Two measured regimes (docs/DESIGN.md): small stat buffers favor the
+        # dense one-hot einsum (full-buffer streaming is cheap); large trees
+        # favor ONE fused scatter-add per buffer over the [B, D] path indices
+        # (~B*D updates, M-independent — a scatter costs ~0.6 ms at B=1024
+        # regardless of buffer size, where dense streaming grows with M*K).
         B = v.shape[0]
         depth = t["depth"]  # [B]
         D = t["path_nodes"].shape[1]
         j = jnp.arange(D)[None, :]
         on_path = j < depth[:, None]  # [B, D]
-        path_child = jnp.concatenate(
-            [t["path_nodes"][:, 1:], jnp.full((B, 1), -1, jnp.int32)], axis=1
-        )
-        path_child = jnp.where(j == depth[:, None] - 1, leaf[:, None], path_child)
         sign_v = jnp.where((depth[:, None] - j) % 2 == 1, -v[:, None], v[:, None])
         sign_v = sign_v * on_path  # [B, D]
-        # Compare-multiply-reduce over the path axis: the [B, D, M] compares
-        # stay inside the reduce fusion (an einsum here would materialize
-        # [B, D, M] f32 MXU operands — ~200 MB at B=1024, M=801).
-        m_ids = jnp.arange(M)[None, None, :]
-        C = (path_child[:, :, None] == m_ids) & on_path[:, :, None]  # [B, D, M]
-        w_add = jnp.sum(jnp.where(C, sign_v[:, :, None], 0.0), axis=1)  # [B, M]
-        n_add = jnp.sum(C.astype(jnp.int32), axis=1)  # [B, M]
-        Pn = (t["path_nodes"][:, :, None] == m_ids) & on_path[:, :, None]
-        node_add = jnp.sum(Pn.astype(jnp.int32), axis=1)
-        return tree.replace(
-            edge_W=tree.edge_W + w_add,
-            edge_N=tree.edge_N + n_add,
-            node_N=tree.node_N + node_add,
-        )
+        backup = self.config.backup
+        if backup == "auto":
+            backup = "dense" if M * K <= 32768 else "scatter"
+        if backup == "dense":
+            Pm = (
+                (t["path_nodes"][:, :, None] == jnp.arange(M)[None, None, :])
+                & on_path[:, :, None]
+            ).astype(jnp.float32)  # [B, D, M]
+            S = (
+                t["path_slots"][:, :, None] == jnp.arange(K)[None, None, :]
+            ).astype(jnp.float32)  # [B, D, K]
+            w_add = jnp.einsum(
+                "bjm,bjk->bmk", Pm, S * sign_v[:, :, None],
+                preferred_element_type=jnp.float32,
+            )
+            n_add = jnp.einsum(
+                "bjm,bjk->bmk", Pm, S * on_path[:, :, None].astype(jnp.float32),
+                preferred_element_type=jnp.float32,
+            )
+            child_W = tree.child_W + w_add
+            child_N = tree.child_N + n_add.astype(jnp.int32)
+        else:
+            # Off-path entries clamp to index (0, 0) with a ZERO update —
+            # scatter-add of 0 is a no-op, so no masking pass over the big
+            # buffers is needed. Duplicate indices accumulate correctly.
+            b_ids = jnp.broadcast_to(jnp.arange(B)[:, None], (B, D))
+            pn = jnp.maximum(t["path_nodes"], 0)
+            ps = jnp.maximum(t["path_slots"], 0)
+            child_W = tree.child_W.at[b_ids, pn, ps].add(sign_v)
+            child_N = tree.child_N.at[b_ids, pn, ps].add(on_path.astype(jnp.int32))
+        return tree.replace(child_W=child_W, child_N=child_N)
 
     # -------------------- public API --------------------
 
-    def search(
-        self,
-        params,
-        root_state: EnvState,
-        root_legal: jax.Array,
-        rng: jax.Array,
-        add_noise: bool = True,
-    ) -> SearchResult:
-        """Run ``num_simulations`` sims for a batch of root states.
+    def _root_setup(self, params, root_state, root_legal, rng, add_noise: bool):
+        """Root evaluation/expansion (+ exploration noise) -> (tree, aux).
 
-        All leading dims are batched: ``root_state`` leaves have shape
-        ``[B, ...]``, ``root_legal`` is ``bool[B, A]``.
+        ``aux`` carries the per-search arrays the wave scan and finalizer
+        need (root NN value; gumbel/logit/validity arrays for the gumbel
+        driver — zeros under puct so the pytree structure is stable for the
+        chunked driver's compiled-program reuse).
         """
         B = root_legal.shape[0]
         cfg = self.config
@@ -527,53 +551,63 @@ class MCTS:
         tree = jax.vmap(self._empty_tree)(root_state)
         tree = jax.vmap(self._expand_node)(tree, jnp.zeros((B,), jnp.int32), priors)
 
-        # --- Gumbel sequential-halving root driver (Danihelka et al. 2022).
-        # Root candidates are the expanded edge slots; each wave forces the
-        # least-visited slot of the current considered set (size from the
-        # static halving schedule), ranked by g + logits + sigma(completed Q).
         K = cfg.max_children
         if use_gumbel:
             slot_valid = tree.child_action[:, 0, :] >= 0  # [B, K]
-            root_slot_logits = jnp.where(
+            slot_logits = jnp.where(
                 slot_valid,
                 jnp.log(jnp.maximum(tree.child_prior[:, 0, :], 1e-30)),
                 NEG_INF,
             )
             rng, g_rng = jax.random.split(rng)
             gumbel = (
-                jax.random.gumbel(g_rng, root_slot_logits.shape)
+                jax.random.gumbel(g_rng, slot_logits.shape)
                 if add_noise
-                else jnp.zeros_like(root_slot_logits)
-            )
-            m0 = max(2, min(cfg.gumbel_considered, K))
-            m_sched = jnp.asarray(
-                _sh_considered_schedule(cfg.num_simulations, m0), jnp.int32
+                else jnp.zeros_like(slot_logits)
             )
         else:
-            m_sched = jnp.zeros((cfg.num_simulations,), jnp.int32)
+            slot_valid = jnp.zeros((B, K), bool)
+            slot_logits = jnp.zeros((B, K), jnp.float32)
+            gumbel = jnp.zeros((B, K), jnp.float32)
+        aux = dict(
+            root_nn_value=root_nn_value,
+            slot_valid=slot_valid,
+            slot_logits=slot_logits,
+            gumbel=gumbel,
+        )
+        return tree, aux
 
-        def root_completed_q(tree):
-            """Per root slot: completed Q (root-mover persp.; unvisited slots
-            take the root NN value) and visit count."""
-            c = tree.child_node[:, 0, :]  # [B, K]
-            safe = jnp.maximum(c, 0)
-            N = jnp.where(c >= 0, jnp.take_along_axis(tree.edge_N, safe, axis=1), 0)
-            W = jnp.where(
-                c >= 0, jnp.take_along_axis(tree.edge_W, safe, axis=1), 0.0
-            )
-            q = jnp.where(N > 0, W / jnp.maximum(N, 1), root_nn_value[:, None])
-            return q, N
+    def _root_completed_q(self, tree, aux):
+        """Per root slot: completed Q (root-mover persp.; unvisited slots
+        take the root NN value) and visit count."""
+        N = tree.child_N[:, 0, :]  # [B, K]
+        W = tree.child_W[:, 0, :]
+        q = jnp.where(N > 0, W / jnp.maximum(N, 1), aux["root_nn_value"][:, None])
+        return q, N
 
-        def gumbel_sigma(q, N):
-            max_n = jnp.max(N, axis=-1, keepdims=True).astype(jnp.float32)
-            return (cfg.gumbel_cvisit + max_n) * cfg.gumbel_cscale * q
+    def _gumbel_sigma(self, q, N):
+        cfg = self.config
+        max_n = jnp.max(N, axis=-1, keepdims=True).astype(jnp.float32)
+        return (cfg.gumbel_cvisit + max_n) * cfg.gumbel_cscale * q
+
+    def _wave_scan(self, params, tree, aux, wave_offset, m_sched):
+        """Run ``len(m_sched)`` simulation waves starting at global wave index
+        ``wave_offset`` (a traced scalar — the chunked driver reuses ONE
+        compiled program for every chunk). Gumbel sequential halving
+        (Danihelka et al. 2022): each wave forces the root slot that is
+        least-visited within the current considered set (size from the
+        halving schedule ``m_sched``), ranked by g + logits + sigma(Q)."""
+        cfg = self.config
+        use_gumbel = cfg.root_selection == "gumbel"
+        B = tree.expanded.shape[0]
 
         def sim_step(tree, xs):
             wave, m_considered = xs
             if use_gumbel:
-                q, N = root_completed_q(tree)
+                q, N = self._root_completed_q(tree, aux)
                 score = jnp.where(
-                    slot_valid, gumbel + root_slot_logits + gumbel_sigma(q, N),
+                    aux["slot_valid"],
+                    aux["gumbel"] + aux["slot_logits"] + self._gumbel_sigma(q, N),
                     NEG_INF,
                 )
                 desc = -jnp.sort(-score, axis=-1)
@@ -620,21 +654,23 @@ class MCTS:
             tree = self._simulate_post_batched(tree, t, leaf, priors, value, new_idx)
             return tree, None
 
+        n_waves = m_sched.shape[0]
         tree, _ = jax.lax.scan(
             sim_step,
             tree,
-            (jnp.arange(cfg.num_simulations, dtype=jnp.int32), m_sched),
+            (wave_offset + jnp.arange(n_waves, dtype=jnp.int32), m_sched),
         )
+        return tree
 
-        # Visit-count policy at the root (src/mcts.py:40-41): each root edge's
-        # visit count lives on its child node.
+    def _finalize(self, tree, aux, root_legal) -> SearchResult:
+        """Extract the policy/value outputs from a searched tree."""
+        cfg = self.config
+        use_gumbel = cfg.root_selection == "gumbel"
+        B = root_legal.shape[0]
+
+        # Visit-count policy at the root (src/mcts.py:40-41).
         A = root_legal.shape[-1]
-        root_children = tree.child_node[:, 0, :]  # [B, K]
-        edge_ok = root_children >= 0
-        safe_c = jnp.maximum(root_children, 0)
-        root_counts = jnp.where(
-            edge_ok, jnp.take_along_axis(tree.edge_N, safe_c, axis=1), 0
-        ).astype(jnp.float32)  # [B, K]
+        root_counts = tree.child_N[:, 0, :].astype(jnp.float32)  # [B, K]
         root_actions = tree.child_action[:, 0, :]  # [B, K]
         valid = root_actions >= 0
         probs = jnp.zeros((B, A), jnp.float32)
@@ -645,20 +681,20 @@ class MCTS:
         total = jnp.maximum(probs.sum(-1, keepdims=True), 1e-30)
         probs = probs / total
 
-        root_visits = tree.node_N[:, 0]
-        root_W = jnp.sum(
-            jnp.where(edge_ok, jnp.take_along_axis(tree.edge_W, safe_c, axis=1), 0.0),
-            axis=-1,
-        )
+        root_visits = jnp.sum(tree.child_N[:, 0, :], axis=-1)
+        root_W = jnp.sum(jnp.where(valid, tree.child_W[:, 0, :], 0.0), axis=-1)
         root_value = root_W / jnp.maximum(root_visits.astype(jnp.float32), 1.0)
 
         if use_gumbel:
             # Winner = argmax of g + logits + sigma(completed Q) among the
             # visited candidates; improved policy (the training target) =
             # softmax(logits + sigma(completed Q)) over the root slots.
-            q, N = root_completed_q(tree)
-            sigma = gumbel_sigma(q, N)
-            score = jnp.where(slot_valid, gumbel + root_slot_logits + sigma, NEG_INF)
+            q, N = self._root_completed_q(tree, aux)
+            sigma = self._gumbel_sigma(q, N)
+            slot_valid = aux["slot_valid"]
+            score = jnp.where(
+                slot_valid, aux["gumbel"] + aux["slot_logits"] + sigma, NEG_INF
+            )
             visited_any = jnp.any(N > 0, axis=-1, keepdims=True)
             win_score = jnp.where(visited_any, jnp.where(N > 0, score, NEG_INF), score)
             win_slot = jnp.argmax(win_score, axis=-1)
@@ -666,7 +702,7 @@ class MCTS:
                 jnp.take_along_axis(root_actions, win_slot[:, None], axis=1)[:, 0], 0
             )
             imp = jax.nn.softmax(
-                jnp.where(slot_valid, root_slot_logits + sigma, NEG_INF), axis=-1
+                jnp.where(slot_valid, aux["slot_logits"] + sigma, NEG_INF), axis=-1
             ) * slot_valid
             probs = jnp.zeros((B, A), jnp.float32)
             probs = probs.at[batch_idx, jnp.maximum(root_actions, 0)].add(
@@ -683,6 +719,71 @@ class MCTS:
             best_action=best_action.astype(jnp.int32),
             tree=tree,
         )
+
+    def _schedule(self) -> list:
+        cfg = self.config
+        if cfg.root_selection == "gumbel":
+            m0 = max(2, min(cfg.gumbel_considered, cfg.max_children))
+            return _sh_considered_schedule(cfg.num_simulations, m0)
+        return [0] * cfg.num_simulations
+
+    def search(
+        self,
+        params,
+        root_state: EnvState,
+        root_legal: jax.Array,
+        rng: jax.Array,
+        add_noise: bool = True,
+    ) -> SearchResult:
+        """Run ``num_simulations`` sims for a batch of root states.
+
+        All leading dims are batched: ``root_state`` leaves have shape
+        ``[B, ...]``, ``root_legal`` is ``bool[B, A]``.
+        """
+        tree, aux = self._root_setup(params, root_state, root_legal, rng, add_noise)
+        m_sched = jnp.asarray(self._schedule(), jnp.int32)
+        tree = self._wave_scan(params, tree, aux, jnp.int32(0), m_sched)
+        return self._finalize(tree, aux, root_legal)
+
+    def search_in_chunks(
+        self,
+        params,
+        root_state: EnvState,
+        root_legal: jax.Array,
+        rng: jax.Array,
+        add_noise: bool = True,
+        chunk: int = 100,
+    ) -> SearchResult:
+        """Result-identical to :meth:`search`, but compiled as ONE reusable
+        ``chunk``-wave program called num_simulations/chunk times with the
+        tree as a device-resident carry (the wave offset is a traced scalar,
+        so every chunk hits the same executable).
+
+        XLA compile cost grows with scan length and, far worse, this
+        environment's tunneled remote-compile service degrades on very long
+        scans (an 800-wave monolith took >9 min and crashed the TPU worker
+        twice; docs/DESIGN.md "Search compile time"). Chunking bounds the
+        compiled program at chunk waves — use for large simulation budgets;
+        plain ``search`` (one fused program, zero per-chunk dispatch) is
+        fine at training budgets (<= ~256 sims).
+        """
+        S = self.config.num_simulations
+        chunk = min(chunk, S)
+        while S % chunk != 0:
+            chunk -= 1
+        if getattr(self, "_chunk_jit", None) is None:
+            self._chunk_jit = {
+                "setup": jax.jit(self._root_setup, static_argnames="add_noise"),
+                "scan": jax.jit(self._wave_scan),
+                "final": jax.jit(self._finalize),
+            }
+        fns = self._chunk_jit
+        sched = self._schedule()
+        tree, aux = fns["setup"](params, root_state, root_legal, rng, add_noise)
+        for lo in range(0, S, chunk):
+            m_sched = jnp.asarray(sched[lo : lo + chunk], jnp.int32)
+            tree = fns["scan"](params, tree, aux, jnp.int32(lo), m_sched)
+        return fns["final"](tree, aux, root_legal)
 
 
 def select_actions(

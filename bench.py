@@ -6,11 +6,17 @@ whole batch on device. Prints ONE JSON line:
 
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
+The line also carries ``mcts_sims_per_s`` (BASELINE.md config 4: batched
+MCTS with the 64ch/6-block net on 1024 games — the metric that actually
+gates self-play; set TAFL_BENCH_MCTS=0 to skip it, e.g. where the multi-
+minute remote compile is unaffordable).
+
 The reference publishes no benchmarks (BASELINE.md); vs_baseline is measured
 against the driver's north-star target of 100k env-steps/s/chip.
 """
 
 import json
+import os
 import time
 
 import jax
@@ -20,6 +26,44 @@ import numpy as np
 from alphazeroforhnefatafl_tpu.core.env import make_env
 
 TARGET_STEPS_PER_S = 100_000.0
+
+
+def bench_mcts_sims(on_accel: bool) -> dict:
+    """MCTS sims/s with the flagship net (config 4 scale on accelerators)."""
+    from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
+    from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
+
+    batch, sims, children, iters = (
+        (1024, 128, 32, 3) if on_accel else (16, 16, 16, 1)
+    )
+    env = make_env("copenhagen")
+    net = make_network(env.n, channels=64, blocks=6)
+    params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
+    mcts = MCTS(
+        env,
+        lambda p, obs: net.apply(p, obs),
+        MCTSConfig(num_simulations=sims, max_children=children, dirichlet_eps=0.0),
+    )
+    state = env.reset_batch(batch)
+    legal = jax.jit(jax.vmap(env.legal_mask))(state)
+
+    def run(params, state, legal, rng):
+        res = mcts.search(params, state, legal, rng, add_noise=False)
+        return jnp.sum(res.root_visits) + jnp.sum(res.action_probs)
+
+    run = jax.jit(run)
+    rng = jax.random.PRNGKey(1)
+    np.asarray(run(params, state, legal, rng))  # compile + warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        rng, sub = jax.random.split(rng)
+        checksum = run(params, state, legal, sub)
+    np.asarray(checksum)
+    dt = time.perf_counter() - t0
+    return {
+        "mcts_sims_per_s": round(batch * sims * iters / dt, 1),
+        "mcts_config": f"b{batch}_s{sims}_k{children}",
+    }
 
 
 def build_rollout(env, batch: int, chunk: int, use_kernel: bool = True):
@@ -91,16 +135,15 @@ def main():
 
     steps = batch * chunk * iters
     steps_per_s = steps / dt
-    print(
-        json.dumps(
-            {
-                "metric": "env_steps_per_sec_per_chip_11x11",
-                "value": round(steps_per_s, 1),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_s / TARGET_STEPS_PER_S, 3),
-            }
-        )
-    )
+    rec = {
+        "metric": "env_steps_per_sec_per_chip_11x11",
+        "value": round(steps_per_s, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_s / TARGET_STEPS_PER_S, 3),
+    }
+    if os.environ.get("TAFL_BENCH_MCTS", "1") != "0":
+        rec.update(bench_mcts_sims(on_accel))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -18,7 +18,7 @@ from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
 from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
 
 
-def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6):
+def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6, chunk=0):
     env = make_env("copenhagen")
     net = make_network(env.n, channels=channels, blocks=blocks)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
@@ -31,16 +31,27 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
     state = env.reset_batch(batch)
     legal = jax.jit(jax.vmap(env.legal_mask))(state)
 
-    def run(params, state, legal, rng):
-        res = mcts.search(params, state, legal, rng, add_noise=False)
-        # Consume the outputs a real caller consumes; checksum forces sync.
-        return (
-            jnp.sum(res.root_visits)
-            + jnp.sum(res.action_probs)
-            + jnp.sum(res.root_value)
-        )
+    if chunk:
+        def run(params, state, legal, rng):
+            res = mcts.search_in_chunks(
+                params, state, legal, rng, add_noise=False, chunk=chunk
+            )
+            return (
+                jnp.sum(res.root_visits)
+                + jnp.sum(res.action_probs)
+                + jnp.sum(res.root_value)
+            )
+    else:
+        def run(params, state, legal, rng):
+            res = mcts.search(params, state, legal, rng, add_noise=False)
+            # Consume the outputs a real caller consumes; checksum forces sync.
+            return (
+                jnp.sum(res.root_visits)
+                + jnp.sum(res.action_probs)
+                + jnp.sum(res.root_value)
+            )
 
-    run = jax.jit(run)
+        run = jax.jit(run)
     rng = jax.random.PRNGKey(1)
 
     t0 = time.perf_counter()
@@ -57,7 +68,8 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
     print(
         json.dumps(
             {
-                "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}",
+                "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}"
+                + (f"_c{chunk}" if chunk else ""),
                 "value": round(sims_per_s, 1),
                 "unit": "sims/s",
                 "compile_s": round(compile_s, 1),
@@ -75,5 +87,7 @@ if __name__ == "__main__":
     p.add_argument("--sims", type=int, default=128)
     p.add_argument("--children", type=int, default=128)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--chunk", type=int, default=0,
+                   help="use search_in_chunks with this wave-chunk size")
     a = p.parse_args()
-    bench(a.batch, a.sims, a.children, a.iters)
+    bench(a.batch, a.sims, a.children, a.iters, chunk=a.chunk)

@@ -50,6 +50,7 @@ def main():
     p.add_argument("--arena-games", type=int, default=64)
     p.add_argument("--arena-sims", type=int, default=64)
     p.add_argument("--arena-max-len", type=int, default=200)
+    p.add_argument("--arena-every", type=int, default=1)
     p.add_argument("--gate", type=float, default=0.55)
     p.add_argument("--checkpoint-every", type=int, default=2)
     p.add_argument("--seed", type=int, default=0)
@@ -75,6 +76,7 @@ def main():
         arena_games=args.arena_games,
         arena_sims=args.arena_sims,
         arena_max_game_len=args.arena_max_len,
+        arena_every=args.arena_every,
         gate_threshold=args.gate,
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         checkpoint_every=args.checkpoint_every,

@@ -370,3 +370,37 @@ def test_gumbel_policy_properties():
     r3 = search(state_b, legal_b, jax.random.PRNGKey(4), False)
     r4 = search(state_b, legal_b, jax.random.PRNGKey(5), False)
     assert int(r3.best_action[0]) == int(r4.best_action[0])
+
+
+@pytest.mark.parametrize("root_selection", ["puct", "gumbel"])
+def test_search_in_chunks_matches_search(root_selection):
+    """The chunked compile-bounded driver must be result-identical to the
+    monolithic search (same tree, same outputs) for both root schemes."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    cfg = MCTSConfig(
+        num_simulations=24, max_children=16, dirichlet_eps=0.0, max_depth=16,
+        root_selection=root_selection,
+    )
+    mcts = MCTS(env, make_fake_evaluate(env), cfg)
+    state_b = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), env.reset())
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    rng = jax.random.PRNGKey(9)
+
+    full = jax.jit(lambda s, l, r: mcts.search(None, s, l, r, add_noise=True))(
+        state_b, legal_b, rng
+    )
+    chunked = mcts.search_in_chunks(
+        None, state_b, legal_b, rng, add_noise=True, chunk=8
+    )
+    assert np.allclose(
+        np.asarray(full.action_probs), np.asarray(chunked.action_probs), atol=1e-6
+    )
+    assert np.array_equal(
+        np.asarray(full.best_action), np.asarray(chunked.best_action)
+    )
+    assert np.allclose(
+        np.asarray(full.root_value), np.asarray(chunked.root_value), atol=1e-6
+    )
+    assert np.array_equal(
+        np.asarray(full.tree.child_N), np.asarray(chunked.tree.child_N)
+    )

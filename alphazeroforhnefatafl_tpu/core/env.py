@@ -890,6 +890,24 @@ class TaflEnv:
         captured_any = jnp.any(cap)
         n_captures = jnp.sum(cap).astype(jnp.int32)
         king_captured = ap["king_captured"]
+        fin = ap.get("fin")
+        if fin is not None:
+            # The fused kernel already ran the repetition tracker and the
+            # outcome priority select in-kernel; only the freeze/info
+            # epilogue below remains.
+            recent = fin["recent_plays"].astype(jnp.int32)
+            rep_first_i = fin["rep_first_i"]
+            reps = fin["reps"].astype(jnp.int32)
+            mid_pair = fin["mid_pair"]
+            psc = fin["plays_since_capture"]
+            result = fin["result"]
+            reason = fin["reason"]
+            terminated = fin["terminated"]
+            next_mask = ap["next_mask"]
+            return self._epilogue(
+                state, valid, board3, cap, n_captures, recent, rep_first_i,
+                reps, mid_pair, psc, result, reason, terminated, next_mask,
+            )
 
         # --- repetition tracking (state.rs:92-113) ---
         rec = side + 2 * captured_any.astype(jnp.int32) + 4 * action
@@ -997,8 +1015,20 @@ class TaflEnv:
             result = jnp.where(take, res_i, result)
             reason = jnp.where(take, reason_i, reason)
             done = done | cond_i
-        terminated = done
 
+        return self._epilogue(
+            state, valid, board3, cap, n_captures, recent, rep_first_i, reps,
+            mid_pair, psc, result, reason, done, next_mask,
+        )
+
+    def _epilogue(
+        self, state, valid, board3, cap, n_captures, recent, rep_first_i,
+        reps, mid_pair, psc, result, reason, terminated, next_mask,
+    ) -> Tuple[EnvState, StepInfo]:
+        """Freeze + info construction shared by the fused-kernel path (which
+        computes everything else in-kernel) and the per-game JAX path."""
+        side = state.side_to_play
+        other = 1 - side
         reward_mover = jnp.where(
             result == side, 1.0, jnp.where(result == other, -1.0, 0.0)
         ).astype(jnp.float32)
@@ -1052,7 +1082,16 @@ class TaflEnv:
 
         actions = jnp.asarray(actions, jnp.int32)
         ap = step_arrays(
-            self, states.board, states.side_to_play, actions, interpret=interpret
+            self,
+            states.board,
+            states.side_to_play,
+            actions,
+            states.recent_plays,
+            states.rep_first_i,
+            states.reps,
+            states.mid_pair,
+            states.plays_since_capture,
+            interpret=interpret,
         )
         valid = ap["valid"] & ~states.terminated
         if validate:

@@ -140,6 +140,13 @@ def _static_tables(env) -> Tuple[np.ndarray, dict]:
         edge_hostile=tuple(cfg.hostile_edge for cfg in env.cls_cfg),
         move_max_dists=tuple(move_tables),
         move_selectors=tuple(tuple(s) for s in move_selectors),
+        edge_escape=bool(rules.edge_escape),
+        rep_rule=(
+            (int(rules.repetition_rule.n_repetitions), bool(rules.repetition_rule.is_loss))
+            if rules.repetition_rule is not None
+            else None
+        ),
+        draw_on_no_plays=bool(rules.draw_on_no_plays),
         index=index,
     )
     return consts, static
@@ -153,11 +160,12 @@ def _build_step_kernel(static: dict):
     offs = [-n, n, -1, 1]
     from ..core.rules import KingStrength
 
-    def kernel(board_ref, side_ref, action_ref, consts_ref,
+    def kernel(board_ref, side_ref, action_ref, rep_ref, consts_ref,
                board3_ref, cap_ref, mask_ref, scal_ref):
         board = board_ref[:]  # int32[nn, LANES]
         side = side_ref[:]  # int32[1, LANES]
         action = action_ref[:]  # int32[1, LANES]
+        rep = rep_ref[:]  # int32[10, LANES]: ring0-3, first_i, reps a/d, mid a/d, psc
         consts = consts_ref[:]  # int32[nn, C]
 
         def col(name):
@@ -525,6 +533,7 @@ def _build_step_kernel(static: dict):
         for i in range(len(static["move_max_dists"])):
             dest_ps.append(empty3 & col(f"occupiable_{i}"))
             pass_ps.append(empty3 & col(f"passable_{i}"))
+        has_play = jnp.zeros((1, LANES), jnp.int32)
         for d in range(4):
             cums = [one] * len(sel)
             for k in range(1, n):
@@ -535,6 +544,7 @@ def _build_step_kernel(static: dict):
                     v = v | (shift(dest_ps[i], d, k) & cums[i] & sel[i])
                     cums[i] = cums[i] & shift(pass_ps[i], d, k)
                 mask_ref[pl.ds((d * ndist + (k - 1)) * nn, nn), :] = v
+                has_play = has_play | any_cells(v)
 
         board3_ref[:] = board3
         cap_ref[:] = cap
@@ -543,6 +553,90 @@ def _build_step_kernel(static: dict):
         to_at_edge = jnp.sum(onehot_to * col("edge"), axis=0, keepdims=True)
         to_at_corner = jnp.sum(onehot_to * col("corner"), axis=0, keepdims=True)
         king_captured = jnp.sum(cap * king1h, axis=0, keepdims=True)
+
+        # ---- repetition tracking (state.rs:92-113; TaflEnv._finish_step) ----
+        ring = [rep[i : i + 1] for i in range(4)]
+        first_i = rep[4:5]
+        reps_att, reps_def = rep[5:6], rep[6:7]
+        mid_att, mid_def = rep[7:8], rep[8:9]
+        psc = rep[9:10]
+
+        capt_any = any_cells(cap)
+        n_caps = jnp.sum(cap, axis=0, keepdims=True)
+        rec = side + 2 * capt_any + 4 * action
+        oldest = jnp.zeros((1, LANES), jnp.int32)
+        for i in range(4):
+            oldest = oldest + (first_i == i).astype(jnp.int32) * ring[i]
+        match = (1 - capt_any) & (oldest == rec).astype(jnp.int32)
+        side_att = (side == 0).astype(jnp.int32)
+        mid = side_att * mid_att + (1 - side_att) * mid_def
+        cur = side_att * reps_att + (1 - side_att) * reps_def
+        incr = match & (1 - mid)
+        new_rep_side = match * (cur + incr)
+        n_reps_att = side_att * new_rep_side + (1 - side_att) * reps_att
+        n_reps_def = (1 - side_att) * new_rep_side + side_att * reps_def
+        new_mid_side = match & (1 - mid)
+        n_mid_att = side_att * new_mid_side + (1 - side_att) * mid_att
+        n_mid_def = (1 - side_att) * new_mid_side + side_att * mid_def
+        ring_out = [
+            jnp.where(first_i == i, rec, ring[i]).astype(jnp.int32)
+            for i in range(4)
+        ]
+        n_first_i = (first_i + 1) % 4
+        n_psc = psc + (1 - capt_any)
+
+        # ---- outcome priority select (logic.rs:702-771) ----
+        n_att_cnt = jnp.sum(is_att3, axis=0, keepdims=True)
+        n_def_cnt = jnp.sum(is_def3 | is_king3, axis=0, keepdims=True)
+        other_count = jnp.where(side == 0, n_def_cnt, n_att_cnt)
+        o_all_captured = (other_count == 0).astype(jnp.int32)
+        o_king_capt = side_att & king_captured
+        escape_tile = to_at_edge if static["edge_escape"] else to_at_corner
+        o_king_esc = (
+            (1 - side_att)
+            & (moving == CELL_KING).astype(jnp.int32)
+            & (escape_tile > 0).astype(jnp.int32)
+        )
+        o_enc_g = side_att & o_enclosed
+        o_fort_g = (1 - side_att) & o_exit_fort
+        if static["rep_rule"] is not None:
+            rep_n_req, rep_is_loss = static["rep_rule"]
+            o_rep = (new_rep_side >= rep_n_req).astype(jnp.int32)
+        else:
+            o_rep = jnp.zeros((1, LANES), jnp.int32)
+            rep_is_loss = False
+        o_no_plays = 1 - has_play
+
+        # Result codes -1/0/1/2 and reason codes mirror core.env (ONGOING /
+        # WIN_ATTACKER / WIN_DEFENDER / DRAW; WinReason + R_DRAW_* = 16/17).
+        win_side, other = side, 1 - side
+        lane1 = jnp.ones((1, LANES), jnp.int32)
+        candidates = [
+            (o_all_captured, win_side, lane1 * 3),  # ALL_CAPTURED
+            (o_king_capt, lane1 * 0, lane1 * 2),  # KING_CAPTURED
+            (o_enc_g, lane1 * 0, lane1 * 4),  # ENCLOSED
+            (o_king_esc, lane1 * 1, lane1 * 0),  # KING_ESCAPED
+            (o_fort_g, lane1 * 1, lane1 * 1),  # EXIT_FORT
+            (
+                o_rep,
+                other if rep_is_loss else lane1 * 2,
+                lane1 * (6 if rep_is_loss else 16),
+            ),
+            (
+                o_no_plays,
+                lane1 * 2 if static["draw_on_no_plays"] else win_side,
+                lane1 * (17 if static["draw_on_no_plays"] else 5),
+            ),
+        ]
+        result = lane1 * -1
+        reason = lane1 * -1
+        done = jnp.zeros((1, LANES), jnp.int32)
+        for cond_i, res_i, reason_i in candidates:
+            take = cond_i & (1 - done)
+            result = jnp.where(take != 0, res_i, result)
+            reason = jnp.where(take != 0, reason_i, reason)
+            done = done | cond_i
+
         scal = jnp.concatenate(
             [
                 valid_basic,
@@ -555,6 +649,20 @@ def _build_step_kernel(static: dict):
                 to_at_corner,
                 o_enclosed,
                 o_exit_fort,
+                result,
+                reason,
+                done,
+                n_first_i,
+                n_reps_att,
+                n_reps_def,
+                n_mid_att,
+                n_mid_def,
+                n_psc,
+                ring_out[0],
+                ring_out[1],
+                ring_out[2],
+                ring_out[3],
+                n_caps,
             ],
             axis=0,
         )
@@ -571,12 +679,25 @@ def _make_step_fn(env, interpret: bool):
     kernel = _build_step_kernel(static)
     C = consts_np.shape[1]
 
-    def batched(boards, sides, actions):
+    def batched(boards, sides, actions, recent_plays, rep_first_i, reps,
+                mid_pair, plays_since_capture):
         B = boards.shape[0]
         Bp = (B + LANES - 1) // LANES * LANES
         bt = jnp.pad(boards.reshape(B, nn).T.astype(jnp.int32), ((0, 0), (0, Bp - B)))
         st = jnp.pad(sides.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
         at = jnp.pad(actions.astype(jnp.int32), (0, Bp - B)).reshape(1, Bp)
+        # Repetition-tracker rows: ring0-3, first_i, reps a/d, mid a/d, psc.
+        rep_rows = jnp.concatenate(
+            [
+                recent_plays.T.astype(jnp.int32),  # [4, B]
+                rep_first_i.astype(jnp.int32)[None, :],
+                reps.T.astype(jnp.int32),  # [2, B]
+                mid_pair.T.astype(jnp.int32),  # [2, B]
+                plays_since_capture.astype(jnp.int32)[None, :],
+            ],
+            axis=0,
+        )
+        rt = jnp.pad(rep_rows, ((0, 0), (0, Bp - B)))
         board3, cap, mask, scal = pl.pallas_call(
             kernel,
             grid=(Bp // LANES,),
@@ -584,28 +705,40 @@ def _make_step_fn(env, interpret: bool):
                 pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((10, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nn, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             ],
             out_specs=[
                 pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((nn, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
                 pl.BlockSpec((A, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
-                pl.BlockSpec((10, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
+                pl.BlockSpec((24, LANES), lambda i: (0, i), memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((nn, Bp), jnp.int32),
                 jax.ShapeDtypeStruct((A, Bp), jnp.int32),
-                jax.ShapeDtypeStruct((10, Bp), jnp.int32),
+                jax.ShapeDtypeStruct((24, Bp), jnp.int32),
             ],
             interpret=interpret,
-        )(bt, st, at, jnp.asarray(consts_np))
+        )(bt, st, at, rt, jnp.asarray(consts_np))
         board3 = board3.T[:B].reshape(B, n, n).astype(jnp.int8)
         cap = (cap.T[:B] != 0).reshape(B, n, n)
         mask = (mask.T[:B] != 0).reshape(B, 4, ndist, nn)
         next_mask = mask.transpose(0, 3, 1, 2).reshape(B, A)
         scal = scal.T[:B]
         kflat = scal[:, 4]
+        fin = dict(
+            result=scal[:, 10],
+            reason=scal[:, 11],
+            terminated=scal[:, 12] != 0,
+            rep_first_i=scal[:, 13],
+            reps=scal[:, 14:16],
+            mid_pair=scal[:, 16:18] != 0,
+            plays_since_capture=scal[:, 18],
+            recent_plays=scal[:, 19:23],
+            n_captures=scal[:, 23],
+        )
         return dict(
             valid=scal[:, 0] != 0,
             moving_cell=scal[:, 1].astype(jnp.int8),
@@ -619,16 +752,36 @@ def _make_step_fn(env, interpret: bool):
             next_mask=next_mask,
             o_enclosed=scal[:, 8] != 0,
             o_exit_fort=scal[:, 9] != 0,
+            fin=fin,
         )
 
     return batched
 
 
-def step_arrays(env, boards, sides, actions, *, interpret: bool = False) -> Dict:
-    """Fused array phase of a batch of env steps.
+def step_arrays(
+    env,
+    boards,
+    sides,
+    actions,
+    recent_plays,
+    rep_first_i,
+    reps,
+    mid_pair,
+    plays_since_capture,
+    *,
+    interpret: bool = False,
+) -> Dict:
+    """Fused array phase + finisher of a batch of env steps.
 
     Returns the same dict as ``vmap(TaflEnv._apply_play)`` plus the next
-    player's legal mask; feed it to ``vmap(TaflEnv._finish_step)``. ``valid``
-    does NOT include the caller's terminated / validate checks.
+    player's legal mask AND the fused finisher outputs (``fin``: repetition
+    tracker update, outcome priority select) — ``TaflEnv._finish_step``
+    consumes them directly, leaving only the freeze/info epilogue outside
+    the kernel. ``valid`` does NOT include the caller's terminated /
+    validate checks; the freeze discards every fused-finisher output for
+    invalid or already-terminated games.
     """
-    return _make_step_fn(env, interpret)(boards, sides, actions)
+    return _make_step_fn(env, interpret)(
+        boards, sides, actions, recent_plays, rep_first_i, reps, mid_pair,
+        plays_since_capture,
+    )

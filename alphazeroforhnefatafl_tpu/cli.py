@@ -190,7 +190,11 @@ def cmd_train(args):
         arena_games=args.arena_games,
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
-        mcts=MCTSConfig(num_simulations=args.sims),
+        mcts=MCTSConfig(
+            num_simulations=args.sims,
+            root_selection="gumbel" if args.gumbel else "puct",
+            dirichlet_alpha_scale=args.alpha_scale,
+        ),
         selfplay=SelfPlayConfig(batch_size=args.selfplay_batch),
     )
     run_loop(env, cfg)
@@ -272,6 +276,10 @@ def main(argv=None):
     p.add_argument("--blocks", type=int, default=3)
     p.add_argument("--arena-games", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--gumbel", action="store_true",
+                   help="gumbel sequential-halving root selection")
+    p.add_argument("--alpha-scale", type=float, default=None,
+                   help="dirichlet alpha = scale / num_legal_moves")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("bench", help="run the headline benchmark")

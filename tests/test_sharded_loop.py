@@ -162,3 +162,35 @@ def test_metrics_logger_step_attribution(tmp_path):
     assert [l["step"] for l in lines] == [0, 1]
     assert lines[0]["a"] == 1.0 and lines[0]["b"] == 2.0
     assert lines[1]["a"] == 3.0 and "b" not in lines[1]
+
+
+def test_gumbel_loop_iteration(tmp_path):
+    """One full gated iteration with gumbel root selection on the mesh."""
+    env = make_env("brandubh")
+    mesh = make_mesh(axis_sizes=(8,), axis_names=("dp",))
+    cfg = LoopConfig(
+        preset="brandubh",
+        iterations=1,
+        games_per_iteration=8,
+        train_steps_per_iteration=1,
+        train_batch_size=16,
+        min_replay_size=8,
+        replay_capacity=1_024,
+        channels=8,
+        blocks=1,
+        arena_games=8,
+        arena_sims=2,
+        arena_max_game_len=8,
+        seed=6,
+        mcts=MCTSConfig(
+            num_simulations=6, max_children=8, max_depth=8,
+            root_selection="gumbel", gumbel_considered=4,
+        ),
+        selfplay=SelfPlayConfig(
+            batch_size=8, temp_threshold=2, max_game_len=10, policy_k=8
+        ),
+    )
+    state = run_loop(env, cfg, mesh=mesh)
+    assert int(state.step) == 1
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert len(leaf.sharding.device_set) == 8

@@ -1115,6 +1115,33 @@ class TaflEnv:
             states, actions
         )
 
+    def step_sharded(
+        self,
+        mesh,
+        states: EnvState,
+        actions: jax.Array,
+        *,
+        axis: str = "dp",
+        interpret: bool = False,
+    ) -> Tuple[EnvState, StepInfo]:
+        """Batched step over a dp-sharded game batch: ``shard_map`` runs the
+        fused pallas kernel independently on each device's shard (pure DP of
+        games — zero cross-device traffic), so multi-chip meshes keep the
+        kernel path instead of falling back to ``vmap(step)``. Differentially
+        tested against ``vmap(step)`` on the 8-device CPU mesh."""
+        from jax.sharding import PartitionSpec as P
+
+        def local(st, ac):
+            return self.step_batch(st, ac, interpret=interpret)
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )(states, actions)
+
     # ------------------------------------------------------------------
     # Observation (NN input planes)
     # ------------------------------------------------------------------

@@ -194,3 +194,34 @@ def test_gumbel_loop_iteration(tmp_path):
     assert int(state.step) == 1
     leaf = jax.tree_util.tree_leaves(state.params)[0]
     assert len(leaf.sharding.device_set) == 8
+
+
+def test_step_sharded_kernel_matches_vmap_step():
+    """The fused step kernel under shard_map on the 8-device mesh must match
+    vmap(step) field-for-field (multi-chip kernel path, pure DP of games)."""
+    env = make_env("brandubh")
+    mesh = make_mesh(axis_sizes=(8,), axis_names=("dp",))
+    B = 16
+    s = env.reset_batch(B)
+    m = np.asarray(jax.vmap(env.legal_mask)(s))
+    a = jnp.asarray(
+        [int(np.nonzero(m[b])[0][b % 3]) for b in range(B)], jnp.int32
+    )
+    ns, info = jax.jit(
+        lambda st, ac: env.step_sharded(mesh, st, ac, interpret=True)
+    )(s, a)
+    ns2, info2 = jax.vmap(lambda ss, aa: env.step(ss, aa, validate=False))(s, a)
+    for f in (
+        "board", "side_to_play", "reps", "mid_pair", "recent_plays",
+        "rep_first_i", "plays_since_capture", "turn", "terminated", "result",
+        "reason",
+    ):
+        assert np.array_equal(
+            np.asarray(getattr(ns, f)), np.asarray(getattr(ns2, f))
+        ), f
+    for f in ("captures", "n_captures", "result", "reward_mover",
+              "legal_mask", "invalid"):
+        assert np.array_equal(
+            np.asarray(getattr(info, f)), np.asarray(getattr(info2, f))
+        ), f
+    assert len(ns.board.sharding.device_set) == 8

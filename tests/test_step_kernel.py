@@ -161,3 +161,37 @@ def test_step_batch_dense_boards(interpret):
         for name in INFO_FIELDS:
             a, b = np.asarray(getattr(i_ref, name)), np.asarray(getattr(i_got, name))
             assert np.array_equal(a, b), f"round {round_i} info.{name}"
+
+
+@pytest.mark.parametrize("interpret", kernel_interpret_modes())
+def test_step_batch_repetition_loss_fixture(interpret):
+    """The repetition-loss sequence (logic.rs:1405-1421) played entirely
+    through the fused kernel: the in-kernel ring/mid-pair tracker must call
+    the game at the exact same ply as the oracle (defender wins, attacker
+    repeated 3x)."""
+    from alphazeroforhnefatafl_tpu.core import fen as F
+    from alphazeroforhnefatafl_tpu.core import actions as A
+    from alphazeroforhnefatafl_tpu.core.env import WIN_DEFENDER, make_env
+    from alphazeroforhnefatafl_tpu.core.rules import WinReason
+
+    env = make_env("brandubh")
+    state = env.reset_batch(1)
+    kstep = jax.jit(lambda s, a: env.step_batch(s, a, interpret=interpret))
+
+    def play(mv):
+        src, dst = mv.split("-")
+        aid = A.encode_from_tiles(
+            7, F.tile_from_str(src), F.tile_from_str(dst)
+        )
+        return kstep(play.state, jnp.asarray([aid], jnp.int32))
+
+    play.state = state
+    moves = ["d6-f6", "d5-f5", "f6-d6", "f5-d5"] * 3
+    for mv in moves:
+        play.state, info = play(mv)
+        assert not bool(info.invalid[0]), mv
+        assert not bool(play.state.terminated[0]), mv
+    play.state, info = play("d6-f6")
+    assert bool(play.state.terminated[0])
+    assert int(play.state.result[0]) == WIN_DEFENDER
+    assert int(play.state.reason[0]) == int(WinReason.REPETITION)

@@ -23,11 +23,14 @@ close/fail exactly as the reference's walk does (see
 
 Flood-fill outcomes (enclosure/surround win and exit fort,
 ``logic.rs:309-401, 572-601``) are computed IN the kernel too, as bounded
-segmented-propagation fixpoints over the cell axis. Only the cheap epilogue
-stays outside: ``TaflEnv._finish_step`` (repetition tracking + outcome
-priority select, ~40 scalar-per-game XLA ops) consumes the kernel's outputs
-so that logic is shared verbatim with the pure-JAX per-game path, and the
-two paths are differentially tested field-for-field against each other.
+segmented-propagation fixpoints over the cell axis — and so are the
+repetition tracker (4-slot ring + mid-pair toggles, ``state.rs:92-113``)
+and the outcome priority select (``logic.rs:702-771``), as [1, LANES] lane
+math. Outside the kernel only ``TaflEnv._epilogue`` remains (the
+invalid/terminal freeze and StepInfo packing, ~a dozen small wheres). The
+per-game JAX path computes the identical quantities in XLA and feeds the
+same ``_epilogue``; the two paths are differentially tested field-for-field
+against each other.
 """
 
 from __future__ import annotations
@@ -59,7 +62,6 @@ def _static_tables(env) -> Tuple[np.ndarray, dict]:
 
     n = env.n
     nn = n * n
-    ndist = n - 1
     rows, cols = np.divmod(np.arange(nn), n)
 
     cols_list = []

@@ -223,7 +223,6 @@ class MCTS:
 
     def _expand_node(self, tree: Tree, node: jax.Array, priors: jax.Array) -> Tree:
         """Store the top-K prior actions as the node's candidate edges."""
-        K = self.config.max_children
         top_p, top_a = self._topk(priors)
         has_mass = top_p > 0
         top_a = jnp.where(has_mass, top_a, -1)
@@ -394,8 +393,6 @@ class MCTS:
         """
         at_node_leaf = t["at_node_leaf"]  # [B]
         make_new = ~at_node_leaf
-        M = tree.expanded.shape[1]
-        K = self.config.max_children
 
         def wr(buf, val):
             cur = jax.lax.dynamic_index_in_dim(buf, new_idx, 1, keepdims=False)

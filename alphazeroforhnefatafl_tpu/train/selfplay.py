@@ -38,6 +38,15 @@ class SelfPlayConfig:
     #: drawish play is never penalized) and lost -100 Elo to the hard-draw
     #: labeling at equal budget.
     bootstrap_truncated: bool = False
+    #: AlphaZero-style resignation: a game ends as a loss for the mover when
+    #: their MCTS root value stays below -resign_threshold for
+    #: resign_consecutive of their moves. None disables. A random
+    #: resign_disable_frac of games ignores resignation and plays to the end
+    #: so the false-positive rate (mover would NOT have lost) is measurable
+    #: from SelfPlayStats.
+    resign_threshold: "float | None" = None
+    resign_consecutive: int = 2
+    resign_disable_frac: float = 0.1
 
 
 @dataclass
@@ -49,6 +58,11 @@ class SelfPlayStats:
     draws: int = 0
     truncated: int = 0
     length_sum: int = 0
+    resigned: int = 0
+    #: monitoring games (resignation disabled) whose would-have-resigned
+    #: prediction could be checked against the real outcome:
+    resign_checked: int = 0
+    resign_false_positive: int = 0  # mover did NOT go on to lose
 
     def as_dict(self):
         g = max(self.games, 1)
@@ -60,6 +74,12 @@ class SelfPlayStats:
             "draw_rate": self.draws / g,
             "truncated": self.truncated,
             "avg_length": self.length_sum / g,
+            "resigned": self.resigned,
+            "resign_fp_rate": (
+                self.resign_false_positive / self.resign_checked
+                if self.resign_checked
+                else 0.0
+            ),
         }
 
 
@@ -152,6 +172,18 @@ class SelfPlayActor:
         ep_rootv = np.zeros((B, L), np.float32)
         ep_len = np.zeros((B,), np.int32)
 
+        # Resignation bookkeeping (host): per-game streak of mover root
+        # values below -threshold, an enable flag (a random fraction plays
+        # to the end for false-positive monitoring), and for monitoring
+        # games the side that WOULD have resigned first.
+        resign_on = cfg.resign_threshold is not None
+        np_rng = np.random.RandomState(
+            int(np.asarray(jax.random.randint(rng, (), 0, 2**31 - 1)))
+        )
+        resign_streak = np.zeros((B, 2), np.int32)  # per (game, side)
+        would_resign_side = np.full((B,), -1, np.int8)
+        resign_enabled = np_rng.rand(B) >= cfg.resign_disable_frac
+
         completed = 0
         while completed < num_games:
             move_idx = ep_len  # per-game move count
@@ -186,13 +218,32 @@ class SelfPlayActor:
             done = np.asarray(states.terminated)
             results = np.asarray(states.result)
             truncate = (ep_len >= L) & ~done
+            if resign_on:
+                # root_v is from the mover's (b_side) perspective; each side
+                # keeps its own consecutive-low streak (movers alternate).
+                low = root_v_np < -cfg.resign_threshold
+                rows = np.arange(B)
+                mover = b_side.astype(np.int64)
+                cur = resign_streak[rows, mover]
+                resign_streak[rows, mover] = np.where(low, cur + 1, 0)
+                trig = resign_streak[rows, mover] >= cfg.resign_consecutive
+                resign_now = trig & resign_enabled & ~done & ~truncate
+                first = trig & ~resign_enabled & (would_resign_side < 0)
+                would_resign_side[first] = b_side[first]
+            else:
+                resign_now = np.zeros((B,), bool)
             for g in range(B):
-                if not (done[g] or truncate[g]):
+                if not (done[g] or truncate[g] or resign_now[g]):
                     continue
                 length = int(min(ep_len[g], L))
-                r = int(results[g]) if done[g] else DRAW
+                if done[g]:
+                    r = int(results[g])
+                elif resign_now[g]:
+                    r = 1 - int(b_side[g])  # mover resigns; opponent wins
+                else:
+                    r = DRAW
                 sides = ep_side[g, :length]
-                if not done[g] and cfg.bootstrap_truncated:
+                if not done[g] and not resign_now[g] and cfg.bootstrap_truncated:
                     # Horizon cut: bootstrap from the last root value,
                     # sign-adjusted to each position's mover.
                     v_last = float(ep_rootv[g, length - 1])
@@ -216,21 +267,35 @@ class SelfPlayActor:
                 stats.games += 1
                 stats.positions += length
                 stats.length_sum += length
-                if done[g]:
+                if done[g] or resign_now[g]:
                     if r == DRAW:
                         stats.draws += 1
                     elif r == 0:
                         stats.attacker_wins += 1
                     else:
                         stats.defender_wins += 1
+                    if resign_now[g]:
+                        stats.resigned += 1
+                    elif would_resign_side[g] >= 0:
+                        # Monitoring game played to the end: the prediction
+                        # was wrong iff the flagged mover did NOT lose.
+                        stats.resign_checked += 1
+                        if r != 1 - int(would_resign_side[g]):
+                            stats.resign_false_positive += 1
                 else:
                     stats.truncated += 1
                     stats.draws += 1
+                    if would_resign_side[g] >= 0:
+                        stats.resign_checked += 1
+                        stats.resign_false_positive += 1  # draw, not a loss
                 completed += 1
                 ep_len[g] = 0
+                resign_streak[g] = 0  # both sides
+                would_resign_side[g] = -1
+                resign_enabled[g] = np_rng.rand() >= cfg.resign_disable_frac
 
-            # Reset finished/truncated games on device.
-            reset_mask = jnp.asarray(done | truncate)
+            # Reset finished/truncated/resigned games on device.
+            reset_mask = jnp.asarray(done | truncate | resign_now)
             fresh = self._reset_batch()
 
             def where_reset(f, c):

@@ -34,6 +34,8 @@ def main():
     p.add_argument("--selfplay-batch", type=int, default=256)
     p.add_argument("--max-game-len", type=int, default=256)
     p.add_argument("--temp-threshold", type=int, default=12)
+    p.add_argument("--resign", type=float, default=None,
+                   help="resign threshold (e.g. 0.95); None disables")
     p.add_argument("--sims", type=int, default=128)
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
@@ -92,6 +94,7 @@ def main():
             batch_size=args.selfplay_batch,
             temp_threshold=args.temp_threshold,
             max_game_len=args.max_game_len,
+            resign_threshold=args.resign,
         ),
     )
     deadline = time.time() + args.hours * 3600 if args.hours else None

@@ -122,3 +122,55 @@ def test_arena_result_math():
     assert r.elo_delta > 0
     even = ArenaResult(games=10, candidate_wins=5, incumbent_wins=5, draws=0)
     assert abs(even.elo_delta) < 1e-6
+
+
+def test_selfplay_resignation():
+    """Value-based resignation: with an always-losing fake value for the
+    mover, enabled games resign after resign_consecutive moves; monitoring
+    (disabled) games play on and feed the false-positive stats."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphazeroforhnefatafl_tpu.core.env import make_env
+    from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig
+    from alphazeroforhnefatafl_tpu.train.replay import ReplayBuffer
+    from alphazeroforhnefatafl_tpu.train.selfplay import (
+        SelfPlayActor,
+        SelfPlayConfig,
+    )
+
+    env = make_env("brandubh")
+
+    def evaluate(params, obs):
+        b = obs.shape[0]
+        # Attacker always losing (side-consistent through negamax): the
+        # attacker's root value stays ~-0.99 => resignation triggers.
+        side = obs[:, 0, 0, 4]
+        value = jnp.where(side == 0, -0.99, 0.99)
+        return jnp.zeros((b, env.num_actions)), value
+
+    cfg = SelfPlayConfig(
+        batch_size=4,
+        temp_threshold=2,
+        max_game_len=20,
+        policy_k=8,
+        resign_threshold=0.9,
+        resign_consecutive=2,
+        resign_disable_frac=0.5,
+    )
+    actor = SelfPlayActor(
+        env,
+        evaluate,
+        MCTSConfig(num_simulations=4, max_children=8, max_depth=8),
+        cfg,
+    )
+    replay = ReplayBuffer(env, 2_048, cfg.policy_k)
+    stats = actor.play(None, replay, jax.random.PRNGKey(0), num_games=8)
+    d = stats.as_dict()
+    assert stats.resigned > 0, d
+    # Resigned games end at ~resign_consecutive moves; monitoring games run
+    # long — so the average sits strictly between.
+    assert stats.games >= 8
+    assert d["resign_fp_rate"] >= 0.0
+    # Every resigned game was recorded as a decisive result, not a draw.
+    assert stats.attacker_wins + stats.defender_wins >= stats.resigned

@@ -8,6 +8,7 @@ alternating colors, and reports win rates and an Elo delta estimate.
 
 from __future__ import annotations
 
+import functools
 import math
 from dataclasses import dataclass
 from typing import Callable
@@ -126,6 +127,27 @@ def _pair_evaluate(evaluate: Callable) -> Callable:
     return ev
 
 
+@functools.lru_cache(maxsize=32)
+def _match_move_fn(env, evaluate, mcts_config, B, sharding):
+    mcts = MCTS(env, _pair_evaluate(evaluate), mcts_config)
+
+    def move(stacked, i0, states, rng):
+        legal = env.legal_mask_many(states)
+        result = mcts.search((stacked, i0), states, legal, rng, add_noise=False)
+        if mcts_config.root_selection == "gumbel":
+            actions = result.best_action
+        else:
+            actions = select_actions(
+                result.action_probs, legal, jnp.zeros((B,)), rng
+            )
+        new_states, _ = env.step_many(states, actions)
+        return new_states
+
+    return jax.jit(move) if sharding is None else jax.jit(
+        move, out_shardings=sharding
+    )
+
+
 def play_match(
     env: TaflEnv,
     evaluate: Callable,
@@ -152,26 +174,13 @@ def play_match(
     B = num_games
     if B % 2 != 0:
         raise ValueError("num_games must be even (candidate plays each color)")
-    mcts = MCTS(env, _pair_evaluate(evaluate), mcts_config)
     stacked = jax.tree_util.tree_map(
         lambda c, i: jnp.stack([c, i]), params_candidate, params_incumbent
     )
-
-    def move(stacked, i0, states, rng):
-        legal = env.legal_mask_many(states)
-        result = mcts.search((stacked, i0), states, legal, rng, add_noise=False)
-        if mcts_config.root_selection == "gumbel":
-            actions = result.best_action
-        else:
-            actions = select_actions(
-                result.action_probs, legal, jnp.zeros((B,)), rng
-            )
-        new_states, _ = env.step_many(states, actions)
-        return new_states
-
-    move = jax.jit(move) if sharding is None else jax.jit(
-        move, out_shardings=sharding
-    )
+    # The compiled move fn is cached on (env, evaluate, config, B, sharding)
+    # so a ladder's many play_match calls share ONE executable instead of
+    # re-jitting a fresh closure per pair.
+    move = _match_move_fn(env, evaluate, mcts_config, B, sharding)
 
     # candidate plays attacker in games [0, B/2), defender in [B/2, B).
     cand_is_attacker = np.arange(B) < B // 2

@@ -55,6 +55,7 @@ def main():
     p.add_argument("--arena-every", type=int, default=1)
     p.add_argument("--gate", type=float, default=0.55)
     p.add_argument("--checkpoint-every", type=int, default=2)
+    p.add_argument("--checkpoint-keep", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -82,6 +83,7 @@ def main():
         gate_threshold=args.gate,
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         checkpoint_every=args.checkpoint_every,
+        checkpoint_keep=args.checkpoint_keep,
         seed=args.seed,
         mcts=MCTSConfig(
             num_simulations=args.sims,

@@ -60,6 +60,7 @@ def ladder(
     games_per_pair: int = 16,
     rng: jax.Array = None,
     iters: int = 200,
+    max_game_len: int = 256,
 ):
     """Round-robin all checkpoints and fit Elo ratings.
 
@@ -82,6 +83,7 @@ def ladder(
                 named_params[j][1],
                 mcts_config,
                 num_games=games_per_pair,
+                max_game_len=max_game_len,
                 rng=sub,
             )
             wins[i, j] = res.score * res.games

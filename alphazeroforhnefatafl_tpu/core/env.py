@@ -318,9 +318,9 @@ class TaflEnv:
         masks come fused out of the step kernel instead (``info.legal_mask``).
 
         Note: like :meth:`step_many`, the kernel path assumes the batch is
-        addressable on one device program (single chip or per-shard inside
-        ``shard_map``); dp-sharded multi-chip TPU callers currently take the
-        vmap path on the sharded batch.
+        addressable by one device program (single chip, or per-shard inside
+        ``shard_map``); under a multi-chip dp mesh jit will all-gather the
+        batch around the kernel — correct but not DP.
         """
         if jax.devices()[0].platform == "tpu":
             from ..ops.legal_mask import batched_legal_mask
@@ -900,6 +900,7 @@ class TaflEnv:
             reps = fin["reps"].astype(jnp.int32)
             mid_pair = fin["mid_pair"]
             psc = fin["plays_since_capture"]
+            n_captures = fin["n_captures"].astype(jnp.int32)
             result = fin["result"]
             reason = fin["reason"]
             terminated = fin["terminated"]
@@ -1108,7 +1109,14 @@ class TaflEnv:
         self, states: EnvState, actions: jax.Array, *, validate: bool = False
     ) -> Tuple[EnvState, StepInfo]:
         """Batched step with automatic backend dispatch: the fused pallas
-        kernel on TPU, ``vmap(step)`` elsewhere (CPU tests, interpret-free)."""
+        kernel on TPU, ``vmap(step)`` elsewhere (CPU tests, interpret-free).
+
+        Note: the kernel path assumes the batch is addressable by one device
+        program. Under a MULTI-chip dp mesh, jit has no partition rule for
+        the pallas call and will all-gather the batch — correct but not DP;
+        use :meth:`step_sharded` (shard_map) there instead (roadmap: wire it
+        through the actor automatically).
+        """
         if jax.devices()[0].platform == "tpu":
             return self.step_batch(states, actions, validate=validate)
         return jax.vmap(lambda s, a: self.step(s, a, validate=validate))(

@@ -27,7 +27,7 @@ def main():
 
     total_games = sum(r["selfplay/games"] for r in rows)
     total_pos = sum(r["selfplay/positions"] for r in rows)
-    wall_h = (rows[-1]["t"] - rows[0]["t"] + rows[0]["t"]) / 3600
+    wall_h = rows[-1]["t"] / 3600  # time since logger creation, incl. compile
     print(
         f"{len(rows)} iterations | {int(total_games)} games | "
         f"{int(total_pos)} positions | {wall_h:.2f} h wall"

@@ -34,7 +34,8 @@ def main():
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--blocks", type=int, default=6)
-    p.add_argument("--max-steps", type=int, default=8, help="most recent N steps")
+    p.add_argument("--max-steps", type=int, default=8,
+                   help="ladder size: evenly-spaced steps across the run")
     p.add_argument("--max-game-len", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
     a = p.parse_args()
@@ -46,7 +47,15 @@ def main():
         net, jax.random.PRNGKey(0), env.num_observation_planes, opt
     )
     mgr = CheckpointManager(a.ckpt)
-    steps = sorted(mgr.mgr.all_steps())[-a.max_steps :]
+    steps = sorted(mgr.mgr.all_steps())
+    if len(steps) > a.max_steps:
+        # Evenly spaced across the run, always including the last.
+        import numpy as np
+
+        idx = np.unique(
+            np.round(np.linspace(0, len(steps) - 1, a.max_steps)).astype(int)
+        )
+        steps = [steps[i] for i in idx]
     named = [("init", base.params)]
     for s in steps:
         try:

@@ -332,27 +332,51 @@ class MCTS:
     # -------------------- one simulation wave --------------------
 
     def _take_node_state(self, tree_state: EnvState, node: jax.Array) -> EnvState:
-        """Per-game node-state read as a B-index row gather (``x[node]``
-        under vmap) — the cheap gather class on TPU (~0.03 ms; see Tree
-        docstring). The round-1 one-hot-matmul formulation streamed and
-        f32-converted the whole [B, M, ...] state buffers every wave, a cost
-        that grew with the simulation count."""
-        return jax.tree_util.tree_map(lambda x: x[node], tree_state)
+        """Per-game node-state read as a one-hot matmul over the node dim.
+
+        Batched dynamic gathers over [B, M, ...] buffers are the slowest op
+        class on TPU; a [1, M] x [M, P] dot on the MXU reads the same data
+        contiguously. All EnvState leaves hold small integers, exact in f32.
+        """
+        M = tree_state.terminated.shape[0]
+        onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]  # [1, M]
+
+        def take(x):
+            xf = x.astype(jnp.float32).reshape(M, -1)
+            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
+            return out.reshape(x.shape[1:]).astype(x.dtype)
+
+        return jax.tree_util.tree_map(take, tree_state)
 
     def _take_observe_fields(self, tree_state: EnvState, node: jax.Array):
-        """Per-game (board, side_to_play, reps) of a node — the only
-        EnvState fields ``TaflEnv.observe`` reads — via row gathers."""
+        """Per-game (board, side_to_play, reps) of a node via one-hot dots —
+        the only EnvState fields ``TaflEnv.observe`` reads."""
+        M = tree_state.terminated.shape[0]
+        onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]
+
+        def take(x):
+            xf = x.astype(jnp.float32).reshape(M, -1)
+            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
+            return out.reshape(x.shape[1:]).astype(x.dtype)
+
         return (
-            tree_state.board[node],
-            tree_state.side_to_play[node],
-            tree_state.reps[node],
+            take(tree_state.board),
+            take(tree_state.side_to_play),
+            take(tree_state.reps),
         )
 
     def _gather_parent(self, tree: Tree, t):
         """Per-game: the traversal's leaf-edge parent state and action."""
         parent, slot = t["leaf_parent"], t["leaf_slot"]
         parent_state = self._take_node_state(tree.state, parent)
-        action = tree.child_action[parent, slot]
+        K = self.config.max_children
+        M = tree.expanded.shape[0]
+        onehot_p = (jnp.arange(M) == parent).astype(jnp.float32)[None, :]
+        row = jnp.matmul(
+            onehot_p, tree.child_action.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )[0]  # [K]
+        action = jnp.sum(row * (jnp.arange(K) == slot)).astype(jnp.int32)
         return parent_state, jnp.maximum(action, 0)
 
     def _materialize_batched(self, tree, t, child_state: EnvState, new_idx):

@@ -337,6 +337,11 @@ class MCTS:
         Batched dynamic gathers over [B, M, ...] buffers are the slowest op
         class on TPU; a [1, M] x [M, P] dot on the MXU reads the same data
         contiguously. All EnvState leaves hold small integers, exact in f32.
+
+        Measured round 2: a row-gather formulation (``x[node]`` under vmap)
+        LOST to these dots at both 128 and 800 sims (142k vs 182k and 45.5k
+        vs 48.7k sims/s) — int8 sub-word gathers do not enjoy the cheap
+        row-gather lowering that int32 stat rows do. Keep the dots.
         """
         M = tree_state.terminated.shape[0]
         onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]  # [1, M]

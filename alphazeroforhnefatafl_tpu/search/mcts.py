@@ -114,6 +114,11 @@ class Tree(struct.PyTreeNode):
     """
 
     state: EnvState  # [M, ...] env state at each node
+    #: f32 copy of state.board flattened to [M, N*N]: the per-wave one-hot
+    #: state-read dots consume boards pre-cast, skipping the int8->f32
+    #: convert-reduce streams a profiler trace showed at ~21% of wave time
+    #: (docs/ROADMAP.md #1); kept in sync by _materialize_batched.
+    board_f32: jax.Array  # f32[M, N*N]
     expanded: jax.Array  # bool[M]
     terminal: jax.Array  # bool[M]
     terminal_value: jax.Array  # f32[M] value from node-mover's perspective
@@ -206,8 +211,12 @@ class MCTS:
         states = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (M,) + x.shape), root_state
         )
+        nn_cells = root_state.board.size
         return Tree(
             state=states,
+            board_f32=jnp.broadcast_to(
+                root_state.board.reshape(-1).astype(jnp.float32), (M, nn_cells)
+            ),
             expanded=jnp.zeros((M,), bool),
             terminal=jnp.zeros((M,), bool).at[0].set(root_state.terminated),
             terminal_value=jnp.zeros((M,), jnp.float32)
@@ -331,7 +340,7 @@ class MCTS:
 
     # -------------------- one simulation wave --------------------
 
-    def _take_node_state(self, tree_state: EnvState, node: jax.Array) -> EnvState:
+    def _take_node_state(self, tree: Tree, node: jax.Array) -> EnvState:
         """Per-game node-state read as a one-hot matmul over the node dim.
 
         Batched dynamic gathers over [B, M, ...] buffers are the slowest op
@@ -341,9 +350,12 @@ class MCTS:
         Measured round 2: a row-gather formulation (``x[node]`` under vmap)
         LOST to these dots at both 128 and 800 sims (142k vs 182k and 45.5k
         vs 48.7k sims/s) — int8 sub-word gathers do not enjoy the cheap
-        row-gather lowering that int32 stat rows do. Keep the dots.
+        row-gather lowering that int32 stat rows do. The board (by far the
+        widest field) reads from the pre-cast ``Tree.board_f32`` buffer, so
+        no per-wave int8->f32 convert stream runs for it (a profiler trace
+        put those convert-reduce fusions at ~21% of wave time).
         """
-        M = tree_state.terminated.shape[0]
+        M = tree.board_f32.shape[0]
         onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]  # [1, M]
 
         def take(x):
@@ -351,12 +363,21 @@ class MCTS:
             out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
             return out.reshape(x.shape[1:]).astype(x.dtype)
 
-        return jax.tree_util.tree_map(take, tree_state)
+        state = jax.tree_util.tree_map(take, tree.state)
+        board = jnp.matmul(
+            onehot, tree.board_f32, preferred_element_type=jnp.float32
+        )[0]
+        # The int8-path board take inside the tree_map above is dead code
+        # once overridden here; XLA eliminates it.
+        return state.replace(
+            board=board.reshape(state.board.shape).astype(state.board.dtype)
+        )
 
-    def _take_observe_fields(self, tree_state: EnvState, node: jax.Array):
+    def _take_observe_fields(self, tree: Tree, node: jax.Array):
         """Per-game (board, side_to_play, reps) of a node via one-hot dots —
-        the only EnvState fields ``TaflEnv.observe`` reads."""
-        M = tree_state.terminated.shape[0]
+        the only EnvState fields ``TaflEnv.observe`` reads. The board comes
+        from the pre-cast f32 buffer."""
+        M = tree.board_f32.shape[0]
         onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]
 
         def take(x):
@@ -364,18 +385,24 @@ class MCTS:
             out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
             return out.reshape(x.shape[1:]).astype(x.dtype)
 
+        n = self.env.n
+        board = (
+            jnp.matmul(onehot, tree.board_f32, preferred_element_type=jnp.float32)[0]
+            .reshape(n, n)
+            .astype(tree.state.board.dtype)
+        )
         return (
-            take(tree_state.board),
-            take(tree_state.side_to_play),
-            take(tree_state.reps),
+            board,
+            take(tree.state.side_to_play),
+            take(tree.state.reps),
         )
 
     def _gather_parent(self, tree: Tree, t):
         """Per-game: the traversal's leaf-edge parent state and action."""
         parent, slot = t["leaf_parent"], t["leaf_slot"]
-        parent_state = self._take_node_state(tree.state, parent)
+        parent_state = self._take_node_state(tree, parent)
         K = self.config.max_children
-        M = tree.expanded.shape[0]
+        M = tree.board_f32.shape[0]
         onehot_p = (jnp.arange(M) == parent).astype(jnp.float32)[None, :]
         row = jnp.matmul(
             onehot_p, tree.child_action.astype(jnp.float32),
@@ -407,6 +434,12 @@ class MCTS:
             )
 
         state = jax.tree_util.tree_map(wr, tree.state, child_state)
+        board_f32 = wr(
+            tree.board_f32,
+            child_state.board.reshape(child_state.board.shape[0], -1).astype(
+                jnp.float32
+            ),
+        )
         terminal = wr(tree.terminal, child_state.terminated)
         tvals = jax.vmap(terminal_value)(child_state)
         tval_buf = wr(tree.terminal_value, tvals)
@@ -422,6 +455,7 @@ class MCTS:
         ].add(delta)
         tree = tree.replace(
             state=state,
+            board_f32=board_f32,
             terminal=terminal,
             terminal_value=tval_buf,
             child_node=child_node,
@@ -638,7 +672,7 @@ class MCTS:
             # fields observe() reads are fetched, via one-hot dots).
             make_new = ~t["at_node_leaf"]
             stored = jax.vmap(
-                lambda tr, nd: self._take_observe_fields(tr.state, nd)
+                lambda tr, nd: self._take_observe_fields(tr, nd)
             )(tree, t["node"])
 
             def sel(fresh, old):

@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -74,6 +74,43 @@ DRAW = 2
 R_NONE = -1
 R_DRAW_REPETITION = 16
 R_DRAW_NO_PLAYS = 17
+
+
+class KernelDispatch(NamedTuple):
+    """How a game-batched move program should run under a multi-device mesh.
+
+    The fused pallas kernels (``ops/step_kernel.py``, ``ops/legal_mask.py``)
+    have no GSPMD partition rule, and GSPMD also refuses to batch-partition
+    the search's ``top_k``/``scatter-add`` families: under a >1-device dp
+    mesh, plain ``jit`` all-gathers the game batch around all of them
+    (measured on the 8-device CPU mesh: seven all-gathers per move, some
+    ``f32[B, A]``-sized). Production move functions (self-play actor, arena)
+    therefore run their WHOLE body — root mask, search waves, env steps,
+    policy extraction — inside one ``shard_map`` over the dp axis when a
+    dispatch is active, so every device advances its own games with zero
+    cross-device traffic (pure DP of games, SURVEY.md §5).
+
+    ``interpret=True`` forces interpreter-mode pallas kernels inside the
+    shards so the TPU program *structure* is testable on the CPU mesh.
+    """
+
+    mesh: Any
+    axis: str = "dp"
+    interpret: bool = False  # interpreter-mode kernels (CPU mesh tests)
+
+
+def auto_dispatch(sharding) -> "KernelDispatch | None":
+    """The production dispatch rule for a game batch with ``sharding``:
+    whole-move ``shard_map`` on a >1-device mesh (TPU: fused kernels per
+    shard; CPU: vmap path per shard); ``None`` on a single device, where the
+    single-program path stays byte-stable for the compile cache."""
+    if sharding is None:
+        return None
+    mesh = sharding.mesh
+    if mesh.size <= 1:
+        return None
+    axis = sharding.spec[0] if sharding.spec else "dp"
+    return KernelDispatch(mesh=mesh, axis=axis)
 
 
 class EnvState(struct.PyTreeNode):
@@ -317,11 +354,19 @@ class TaflEnv:
         elsewhere. Used by the self-play/arena root-mask sites; step-time
         masks come fused out of the step kernel instead (``info.legal_mask``).
 
-        Note: like :meth:`step_many`, the kernel path assumes the batch is
-        addressable by one device program (single chip, or per-shard inside
-        ``shard_map``); under a multi-chip dp mesh jit will all-gather the
-        batch around the kernel — correct but not DP.
+        ``interpret=True`` forces the kernel path in interpreter mode on any
+        backend. Under a >1-device dp mesh the production callers run their
+        whole move function inside ``shard_map`` (see :class:`KernelDispatch`)
+        so this executes per-shard; :meth:`legal_mask_sharded` is the
+        standalone sharded variant.
         """
+        if interpret:
+            from ..ops.legal_mask import batched_legal_mask
+
+            m = batched_legal_mask(
+                self, states.board, states.side_to_play, interpret=True
+            )
+            return m & ~states.terminated[:, None]
         if jax.devices()[0].platform == "tpu":
             from ..ops.legal_mask import batched_legal_mask
 
@@ -330,6 +375,34 @@ class TaflEnv:
             )
             return m & ~states.terminated[:, None]
         return jax.vmap(self.legal_mask)(states)
+
+    def legal_mask_sharded(
+        self,
+        mesh,
+        states: EnvState,
+        *,
+        axis: str = "dp",
+        interpret: bool = False,
+    ) -> jax.Array:
+        """Batched legal mask over a dp-sharded game batch via ``shard_map``
+        (each device ray-scans its own shard; zero cross-device traffic)."""
+        from jax.sharding import PartitionSpec as P
+
+        def local(st):
+            from ..ops.legal_mask import batched_legal_mask
+
+            m = batched_legal_mask(
+                self, st.board, st.side_to_play, interpret=interpret
+            )
+            return m & ~st.terminated[:, None]
+
+        return jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis),),
+            out_specs=P(axis),
+            check_vma=False,
+        )(states)
 
     # ------------------------------------------------------------------
     # Hostility boards (logic.rs:76-114)
@@ -1106,17 +1179,28 @@ class TaflEnv:
         return jax.vmap(self._finish_step)(states, actions, ap)
 
     def step_many(
-        self, states: EnvState, actions: jax.Array, *, validate: bool = False
+        self,
+        states: EnvState,
+        actions: jax.Array,
+        *,
+        validate: bool = False,
+        interpret: bool = False,
     ) -> Tuple[EnvState, StepInfo]:
         """Batched step with automatic backend dispatch: the fused pallas
         kernel on TPU, ``vmap(step)`` elsewhere (CPU tests, interpret-free).
 
-        Note: the kernel path assumes the batch is addressable by one device
-        program. Under a MULTI-chip dp mesh, jit has no partition rule for
-        the pallas call and will all-gather the batch — correct but not DP;
-        use :meth:`step_sharded` (shard_map) there instead (roadmap: wire it
-        through the actor automatically).
+        ``interpret=True`` forces the kernel path in interpreter mode on any
+        backend (CPU-mesh tests of the TPU program structure).
+
+        The kernel path assumes the batch is addressable by one device
+        program; under a >1-device dp mesh the production callers run their
+        whole move function inside ``shard_map`` (see :class:`KernelDispatch`)
+        so this executes per-shard.
         """
+        if interpret:
+            return self.step_batch(
+                states, actions, validate=validate, interpret=True
+            )
         if jax.devices()[0].platform == "tpu":
             return self.step_batch(states, actions, validate=validate)
         return jax.vmap(lambda s, a: self.step(s, a, validate=validate))(
@@ -1130,6 +1214,7 @@ class TaflEnv:
         actions: jax.Array,
         *,
         axis: str = "dp",
+        validate: bool = False,
         interpret: bool = False,
     ) -> Tuple[EnvState, StepInfo]:
         """Batched step over a dp-sharded game batch: ``shard_map`` runs the
@@ -1140,7 +1225,7 @@ class TaflEnv:
         from jax.sharding import PartitionSpec as P
 
         def local(st, ac):
-            return self.step_batch(st, ac, interpret=interpret)
+            return self.step_batch(st, ac, validate=validate, interpret=interpret)
 
         return jax.shard_map(
             local,

@@ -187,10 +187,19 @@ class MCTS:
     NN boundary (``nnet.predict``, ``src/mcts.py:85``).
     """
 
-    def __init__(self, env: TaflEnv, evaluate: Callable, config: MCTSConfig):
+    def __init__(
+        self,
+        env: TaflEnv,
+        evaluate: Callable,
+        config: MCTSConfig,
+        kernel_interpret: bool = False,
+    ):
+        """``kernel_interpret`` forces interpreter-mode pallas env kernels for
+        the in-search steps (CPU-mesh tests of the sharded TPU program)."""
         self.env = env
         self.evaluate = evaluate
         self.config = config
+        self.kernel_interpret = kernel_interpret
         self.num_nodes = config.num_simulations + 1
         self._approx_topk = config.topk == "approx" or (
             config.topk == "auto" and jax.devices()[0].platform == "tpu"
@@ -663,7 +672,9 @@ class MCTS:
             parent_state, actions = jax.vmap(self._gather_parent)(tree, t)
             # Batched env step — the fused pallas kernel on TPU. Its
             # info.legal_mask is the leaf's mask for prior computation.
-            child_state, step_info = self.env.step_many(parent_state, actions)
+            child_state, step_info = self.env.step_many(
+                parent_state, actions, interpret=self.kernel_interpret
+            )
             leaf_legal = step_info.legal_mask
             new_idx = wave + 1
             tree, leaf = self._materialize_batched(tree, t, child_state, new_idx)

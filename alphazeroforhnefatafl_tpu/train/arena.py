@@ -129,21 +129,74 @@ def _pair_evaluate(evaluate: Callable) -> Callable:
     return ev
 
 
-@functools.lru_cache(maxsize=32)
-def _match_move_fn(env, evaluate, mcts_config, B, sharding):
-    mcts = MCTS(env, _pair_evaluate(evaluate), mcts_config)
+def _shard_pair_evaluate(evaluate: Callable, axis: str, B: int, B_local: int):
+    """Shard-local version of :func:`_pair_evaluate` for the whole-move
+    shard_map path: with the candidate-attacker games laid out as the first
+    half of the GLOBAL batch and every shard contained in one half (checked
+    at dispatch time), which net owns a shard's games is a function of the
+    shard index — one single-net forward per shard, same FLOPs as the
+    half-split."""
 
-    def move(stacked, i0, states, rng):
-        legal = env.legal_mask_many(states)
+    def ev(params_and_idx, obs):
+        stacked, i0 = params_and_idx
+        first_half = (jax.lax.axis_index(axis) * B_local) < (B // 2)
+        i_sel = jnp.where(first_half, i0, 1 - i0)
+        net = jax.tree_util.tree_map(
+            lambda x: jax.lax.dynamic_index_in_dim(x, i_sel, 0, keepdims=False),
+            stacked,
+        )
+        return evaluate(net, obs)
+
+    return ev
+
+
+@functools.lru_cache(maxsize=32)
+def _match_move_fn(env, evaluate, mcts_config, B, sharding, dispatch):
+    from jax.sharding import PartitionSpec as P
+
+    ki = bool(dispatch.interpret) if dispatch is not None else False
+    if dispatch is not None:
+        axis = dispatch.axis
+        B_local = B // dispatch.mesh.size
+        pair_ev = _shard_pair_evaluate(evaluate, axis, B, B_local)
+    else:
+        B_local = B
+        pair_ev = _pair_evaluate(evaluate)
+    mcts = MCTS(env, pair_ev, mcts_config, kernel_interpret=ki)
+
+    def move_local(stacked, i0, states, rng):
+        legal = env.legal_mask_many(states, interpret=ki)
         result = mcts.search((stacked, i0), states, legal, rng, add_noise=False)
         if mcts_config.root_selection == "gumbel":
             actions = result.best_action
         else:
             actions = select_actions(
-                result.action_probs, legal, jnp.zeros((B,)), rng
+                result.action_probs, legal, jnp.zeros((B_local,)), rng
             )
-        new_states, _ = env.step_many(states, actions)
+        new_states, _ = env.step_many(states, actions, interpret=ki)
         return new_states
+
+    if dispatch is not None:
+        # Whole-move shard_map (see KernelDispatch): each device searches and
+        # steps its own slice of the game batch with zero collectives.
+        def move(stacked, i0, states, rng):
+            def local(stacked, i0, states, rng):
+                return move_local(
+                    stacked,
+                    i0,
+                    states,
+                    jax.random.fold_in(rng, jax.lax.axis_index(axis)),
+                )
+
+            return jax.shard_map(
+                local,
+                mesh=dispatch.mesh,
+                in_specs=(P(), P(), P(axis), P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )(stacked, i0, states, rng)
+    else:
+        move = move_local
 
     return jax.jit(move) if sharding is None else jax.jit(
         move, out_shardings=sharding
@@ -160,6 +213,7 @@ def play_match(
     max_game_len: int = 256,
     rng: jax.Array = None,
     sharding=None,
+    dispatch="auto",
 ) -> ArenaResult:
     """Play ``num_games`` (half with candidate as attacker, half as defender).
 
@@ -171,6 +225,8 @@ def play_match(
 
     ``sharding``: optional ``NamedSharding`` to spread the game batch over a
     ``dp`` mesh (params should be replicated over the same mesh).
+    ``dispatch``: kernel dispatch under that mesh — ``"auto"`` (shard_map on
+    a >1-device TPU mesh), ``None``, or an explicit ``KernelDispatch``.
     """
     rng = jax.random.PRNGKey(0) if rng is None else rng
     B = num_games
@@ -179,10 +235,22 @@ def play_match(
     stacked = jax.tree_util.tree_map(
         lambda c, i: jnp.stack([c, i]), params_candidate, params_incumbent
     )
-    # The compiled move fn is cached on (env, evaluate, config, B, sharding)
-    # so a ladder's many play_match calls share ONE executable instead of
-    # re-jitting a fresh closure per pair.
-    move = _match_move_fn(env, evaluate, mcts_config, B, sharding)
+    if dispatch == "auto":
+        from ..core.env import auto_dispatch
+
+        dispatch = auto_dispatch(sharding)
+    if sharding is None:
+        dispatch = None
+    if dispatch is not None:
+        # The shard-local pair evaluate needs every shard inside one color
+        # half of the batch; fall back to the single-program path otherwise.
+        size = dispatch.mesh.size
+        if B % size != 0 or (B // 2) % (B // size) != 0:
+            dispatch = None
+    # The compiled move fn is cached on (env, evaluate, config, B, sharding,
+    # dispatch) so a ladder's many play_match calls share ONE executable
+    # instead of re-jitting a fresh closure per pair.
+    move = _match_move_fn(env, evaluate, mcts_config, B, sharding, dispatch)
 
     # candidate plays attacker in games [0, B/2), defender in [B/2, B).
     cand_is_attacker = np.arange(B) < B // 2

@@ -93,19 +93,37 @@ class SelfPlayActor:
         mcts_config: MCTSConfig,
         config: SelfPlayConfig,
         sharding=None,
+        dispatch="auto",
     ):
         """``sharding``: optional ``NamedSharding`` (e.g. ``P("dp")`` over a
         mesh) for the lockstep game batch — each device steps its own slice
         of the games with zero cross-device traffic (pure DP of games,
         SURVEY.md §5). Params should then be replicated over the same mesh.
+
+        ``dispatch``: how the move program runs under that mesh — ``"auto"``
+        (whole-move ``shard_map`` whenever the mesh has >1 device; GSPMD
+        refuses to batch-partition the search's top_k/scatter families and
+        the pallas kernels, so plain jit would all-gather the game batch),
+        ``None`` to force the single-program path, or an explicit
+        :class:`~alphazeroforhnefatafl_tpu.core.env.KernelDispatch`
+        (CPU-mesh tests use ``KernelDispatch(mesh, interpret=True)`` to run
+        the TPU kernel path per shard in interpreter mode).
         """
+        from ..core.env import auto_dispatch
+
         self.env = env
         self.cfg = config
-        self.mcts = MCTS(env, evaluate, mcts_config)
+        if dispatch == "auto":
+            dispatch = auto_dispatch(sharding)
+        if sharding is None:
+            dispatch = None
+        self.dispatch = dispatch
+        ki = bool(dispatch.interpret) if dispatch is not None else False
+        self.mcts = MCTS(env, evaluate, mcts_config, kernel_interpret=ki)
 
         def move_fn(params, states, temps, rng):
             rng, r_search, r_sample = jax.random.split(rng, 3)
-            legal = env.legal_mask_many(states)
+            legal = env.legal_mask_many(states, interpret=ki)
             result = self.mcts.search(params, states, legal, r_search, add_noise=True)
             if mcts_config.root_selection == "gumbel":
                 # Exploration comes from the sampled root Gumbels; play the
@@ -113,7 +131,7 @@ class SelfPlayActor:
                 actions = result.best_action
             else:
                 actions = select_actions(result.action_probs, legal, temps, r_sample)
-            new_states, info = env.step_many(states, actions)
+            new_states, info = env.step_many(states, actions, interpret=ki)
             # Sparse top-K policy target.
             top_p, top_a = jax.lax.top_k(result.action_probs, config.policy_k)
             top_a = jnp.where(top_p > 0, top_a, -1)
@@ -131,13 +149,44 @@ class SelfPlayActor:
             self._move = jax.jit(move_fn)
             self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
         else:
-            from jax.sharding import NamedSharding, PartitionSpec
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
-            repl = NamedSharding(sharding.mesh, PartitionSpec())
+            repl = NamedSharding(sharding.mesh, P())
+            if dispatch is not None:
+                # Whole-move shard_map: each device runs the full search +
+                # step program on its own slice of the game batch (pure DP of
+                # games; zero collectives — asserted by
+                # tests/test_kernel_dispatch.py). The rng folds in the shard
+                # index so exploration noise is independent across shards;
+                # the replicated carried-rng output is the pre-fold key
+                # (callers split fresh keys per move anyway).
+                axis = dispatch.axis
+
+                def move_sharded(params, states, temps, rng):
+                    def local(params, states, temps, rng):
+                        out = move_fn(
+                            params,
+                            states,
+                            temps,
+                            jax.random.fold_in(rng, jax.lax.axis_index(axis)),
+                        )
+                        return out[:-1] + (rng,)
+
+                    return jax.shard_map(
+                        local,
+                        mesh=dispatch.mesh,
+                        in_specs=(P(), P(axis), P(axis), P()),
+                        out_specs=(P(axis),) * 6 + (P(),),
+                        check_vma=False,
+                    )(params, states, temps, rng)
+
+                jit_move = move_sharded
+            else:
+                jit_move = move_fn
             # (states, actions, info, top_a, top_p, root_value, rng):
             # everything batched over games except the carried rng key.
             self._move = jax.jit(
-                move_fn,
+                jit_move,
                 out_shardings=(
                     sharding, sharding, sharding, sharding, sharding, sharding,
                     repl,

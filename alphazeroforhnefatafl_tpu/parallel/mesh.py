@@ -60,6 +60,16 @@ def auto_mesh(
     n = len(devices)
     while n > 1 and any(b % n != 0 for b in batch_sizes):
         n -= 1
+    if n < len(devices):
+        import warnings
+
+        warnings.warn(
+            f"auto_mesh: batch sizes {batch_sizes} are not divisible by the "
+            f"{len(devices)} available devices; using a {n}-device mesh "
+            f"({len(devices) - n} devices idle). Pick batch sizes divisible "
+            f"by the device count to use the full machine.",
+            stacklevel=2,
+        )
     return make_mesh((n,), ("dp",), devices[:n])
 
 

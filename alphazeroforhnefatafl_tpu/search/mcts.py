@@ -756,6 +756,12 @@ class MCTS:
                 jnp.where(valid, imp, 0.0)
             )
             probs = probs / jnp.maximum(probs.sum(-1, keepdims=True), 1e-30)
+            # Root value = the halving WINNER's completed Q, not the
+            # visit-weighted mean: sequential halving deliberately spends
+            # early visits on candidates it then refutes, so the mean is
+            # biased low — which would feed spurious resignations and
+            # pessimistic bootstrap targets (advisor r2).
+            root_value = jnp.take_along_axis(q, win_slot[:, None], axis=1)[:, 0]
         else:
             best_action = jnp.argmax(probs, axis=-1)
 

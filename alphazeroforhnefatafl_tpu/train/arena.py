@@ -28,13 +28,37 @@ class ArenaResult:
     candidate_wins: int
     incumbent_wins: int
     draws: int
+    #: Games that hit ``max_game_len`` without terminating. Scored as draws
+    #: (the conservative choice) but reported separately: on drawish rulesets
+    #: with short ply caps these can dominate, and silently folding them into
+    #: ``draws`` hid that from the gate (VERDICT r2 weak #8).
+    truncated: int = 0
 
     @property
     def score(self) -> float:
-        """Candidate score in [0, 1] (draws count half)."""
+        """Candidate score in [0, 1] (draws and truncations count half)."""
         if self.games == 0:
             return 0.5
-        return (self.candidate_wins + 0.5 * self.draws) / self.games
+        return (
+            self.candidate_wins + 0.5 * (self.draws + self.truncated)
+        ) / self.games
+
+    @property
+    def decisive_score(self) -> float:
+        """Candidate win rate over DECISIVE games only (0.5 when none).
+
+        The draw-robust gating signal: on draw-heavy regimes (11x11 arenas ran
+        70-95% draws, pinning ``score`` ~0.5 and starving the gate) the
+        decisive games still carry the strength signal.
+        """
+        decisive = self.candidate_wins + self.incumbent_wins
+        if decisive == 0:
+            return 0.5
+        return self.candidate_wins / decisive
+
+    @property
+    def decisive_games(self) -> int:
+        return self.candidate_wins + self.incumbent_wins
 
     @property
     def elo_delta(self) -> float:
@@ -47,7 +71,9 @@ class ArenaResult:
             "candidate_wins": self.candidate_wins,
             "incumbent_wins": self.incumbent_wins,
             "draws": self.draws,
+            "truncated": self.truncated,
             "score": self.score,
+            "decisive_score": self.decisive_score,
             "elo_delta": self.elo_delta,
         }
 
@@ -277,15 +303,21 @@ def play_match(
         if term.all():
             break
 
-    cand_w = incumbent_w = draws = 0
+    cand_w = incumbent_w = draws = truncated = 0
     for g in range(B):
         r = int(done_results[g])
-        if r in (-2, DRAW):
+        if r == -2:
+            truncated += 1
+        elif r == DRAW:
             draws += 1
         elif (r == 0) == bool(cand_is_attacker[g]):
             cand_w += 1
         else:
             incumbent_w += 1
     return ArenaResult(
-        games=B, candidate_wins=cand_w, incumbent_wins=incumbent_w, draws=draws
+        games=B,
+        candidate_wins=cand_w,
+        incumbent_wins=incumbent_w,
+        draws=draws,
+        truncated=truncated,
     )

@@ -51,11 +51,14 @@ class CheckpointManager:
 
     def __init__(self, directory: str, max_to_keep: int = 3):
         self.directory = os.path.abspath(directory)
+        # item_handlers lets a FRESH manager read on-disk structure metadata
+        # (saved_extra_keys) before any save/restore has typed the handler.
         self.mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True
             ),
+            item_handlers=ocp.StandardCheckpointHandler(),
         )
 
     def save(
@@ -78,6 +81,16 @@ class CheckpointManager:
 
     def latest_iteration(self) -> Optional[int]:
         return self.mgr.latest_step()
+
+    def saved_extra_keys(self, iteration: Optional[int] = None) -> Tuple[str, ...]:
+        """Keys of the ``extra`` payload the on-disk checkpoint was saved
+        with (empty for ungated runs). Lets the caller build the matching
+        restore template instead of guessing and catching mismatches."""
+        step = iteration if iteration is not None else self.mgr.latest_step()
+        if step is None:
+            return ()
+        extra = self.mgr.item_metadata(step).tree.get("extra", {})
+        return tuple(extra.keys()) if isinstance(extra, dict) else ()
 
     def restore(
         self,

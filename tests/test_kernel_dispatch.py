@@ -131,7 +131,7 @@ def test_arena_match_no_allgather_under_dispatch():
     )
     res = play_match(env, evaluate, params, params2, cfg, **kwargs)
     assert res.games == 8
-    assert res.candidate_wins + res.incumbent_wins + res.draws == 8
+    assert res.candidate_wins + res.incumbent_wins + res.draws + res.truncated == 8
     res2 = play_match(env, evaluate, params, params2, cfg, **kwargs)
     assert res2.as_dict() == res.as_dict()
 

@@ -60,3 +60,40 @@ def test_loop_runs_checkpoints_and_resumes(tmp_path):
     resumed = [l for l in lines2 if "selfplay/games" in l]
     assert len(resumed) == 1, f"expected 1 resumed iteration, got {len(resumed)}"
     assert int(state2.step) > int(state.step)
+
+
+def test_loop_resume_across_gating_toggle(tmp_path):
+    """An ungated checkpoint resumes cleanly into a gated config (template
+    built from the checkpoint's actual saved keys, no blanket except) and
+    the gap is surfaced as a metric."""
+    import dataclasses
+
+    env = make_env("brandubh")
+    cfg = tiny_config(tmp_path, iterations=1)
+    run_loop(env, cfg)  # ungated: extra payload saved empty
+
+    from alphazeroforhnefatafl_tpu.train.checkpoint import CheckpointManager
+
+    assert CheckpointManager(cfg.checkpoint_dir).saved_extra_keys() == ()
+
+    gated = dataclasses.replace(
+        tiny_config(tmp_path, iterations=2),
+        arena_games=6,
+        arena_sims=4,
+        arena_max_game_len=12,
+        gate_on="decisive",
+        gate_min_decisive=1,
+        gate_threshold=0.6,
+    )
+    log = MetricsLogger(jsonl_path=str(tmp_path / "mg.jsonl"))
+    run_loop(env, gated, log=log)
+    lines = [json.loads(l) for l in open(tmp_path / "mg.jsonl")]
+    assert any(l.get("resume/incumbent_missing") == 1.0 for l in lines)
+    row = [l for l in lines if "arena/games" in l][-1]
+    # Truncations reported separately; decisive gating emitted a verdict.
+    assert "arena/truncated" in row and "arena/decisive_score" in row
+    assert row["arena/promoted"] in (0.0, 1.0)
+    # And the now-gated checkpoint carries the incumbent payload.
+    assert CheckpointManager(cfg.checkpoint_dir).saved_extra_keys() == (
+        "incumbent_params",
+    )

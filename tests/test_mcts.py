@@ -296,10 +296,10 @@ def test_mcts_finds_king_escape(root_selection):
         f"is not an escape"
     )
     assert int(probs.argmax()) in wins
-    if root_selection == "puct":
-        # Visit-weighted mean root value; gumbel's halving deliberately
-        # spreads visits over losing candidates, keeping the mean low.
-        assert float(result.root_value[0]) > 0.3
+    # puct: visit-weighted mean; gumbel: the halving winner's completed Q
+    # (NOT the mean — halving deliberately spreads visits over losing
+    # candidates, which would bias the mean low).
+    assert float(result.root_value[0]) > 0.3
 
 
 @pytest.mark.parametrize("root_selection", ["puct", "gumbel"])
@@ -326,8 +326,7 @@ def test_mcts_finds_king_capture(root_selection):
     win = A.encode_from_tiles(7, (5, 6), (5, 5))
     assert int(result.best_action[0]) == win
     assert probs[win] == probs.max()
-    if root_selection == "puct":
-        assert float(result.root_value[0]) > 0.3
+    assert float(result.root_value[0]) > 0.3
 
 
 def test_gumbel_policy_properties():

@@ -97,6 +97,7 @@ from alphazeroforhnefatafl_tpu.train.loop import LoopConfig, run_loop
 from alphazeroforhnefatafl_tpu.train.selfplay import SelfPlayConfig
 
 env = make_env("brandubh")
+from alphazeroforhnefatafl_tpu.train.replay import ReplayBuffer
 cfg = LoopConfig(
     preset="brandubh",
     iterations=1,
@@ -112,7 +113,8 @@ cfg = LoopConfig(
     mcts=MCTSConfig(num_simulations=2, max_children=8, max_depth=8),
     selfplay=SelfPlayConfig(batch_size=2, temp_threshold=2, max_game_len=6, policy_k=8),
 )
-state = run_loop(env, cfg)
+replay = ReplayBuffer(env, cfg.replay_capacity, cfg.selfplay.policy_k)
+state = run_loop(env, cfg, replay=replay)
 assert int(state.step) == 1, state.step
 
 # Params ended replicated over all four global devices and identical on
@@ -120,7 +122,15 @@ assert int(state.step) == 1, state.step
 import numpy as np
 leaf = jax.tree_util.tree_leaves(state.params)[0]
 assert len(leaf.sharding.device_set) == 4, leaf.sharding
-print(f"LOOPWORKER{pid}_OK {float(np.asarray(leaf).sum()):.6f}", flush=True)
+# Digest of this host's self-play games: the per-host replays must DIFFER
+# (each host folds its process index into the self-play key; identical
+# digests would mean duplicated games across the pod).
+import hashlib
+digest = hashlib.sha1(
+    np.ascontiguousarray(replay.board[: replay.size]).tobytes()
+    + np.ascontiguousarray(replay.policy_p[: replay.size]).tobytes()
+).hexdigest()[:16]
+print(f"LOOPWORKER{pid}_OK {float(np.asarray(leaf).sum()):.6f} {digest}", flush=True)
 """
 
 
@@ -149,10 +159,14 @@ def test_two_process_training_loop(tmp_path):
         out, _ = p.communicate(timeout=420)
         outs.append(out)
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-    sums = []
+    sums, digests = [], []
     for pid in range(2):
         line = [l for l in outs[pid].splitlines() if f"LOOPWORKER{pid}_OK" in l]
         assert line, outs[pid]
-        sums.append(line[0].split()[-1])
-    # Same final params on both hosts.
+        sums.append(line[0].split()[-2])
+        digests.append(line[0].split()[-1])
+    # Same final params on both hosts...
     assert sums[0] == sums[1], sums
+    # ...from DIFFERENT per-host self-play games (process index folded into
+    # the self-play key; identical replays would halve the pod's data).
+    assert digests[0] != digests[1], digests

@@ -119,7 +119,7 @@ def test_play_match_stacked_params_sharded():
         sharding=sh,
     )
     assert res.games == 8
-    assert res.candidate_wins + res.incumbent_wins + res.draws == 8
+    assert res.candidate_wins + res.incumbent_wins + res.draws + res.truncated == 8
 
     # Deterministic in the rng: replay gives the identical result.
     res2 = play_match(

@@ -119,9 +119,19 @@ def test_select_actions_temperature():
 def test_arena_result_math():
     r = ArenaResult(games=20, candidate_wins=12, incumbent_wins=6, draws=2)
     assert abs(r.score - 0.65) < 1e-9
+    assert abs(r.decisive_score - 12 / 18) < 1e-9
     assert r.elo_delta > 0
     even = ArenaResult(games=10, candidate_wins=5, incumbent_wins=5, draws=0)
     assert abs(even.elo_delta) < 1e-6
+    # Truncations score half (like draws) but are reported separately, and
+    # don't dilute the decisive win rate.
+    t = ArenaResult(games=20, candidate_wins=3, incumbent_wins=1, draws=2, truncated=14)
+    assert abs(t.score - (3 + 0.5 * 16) / 20) < 1e-9
+    assert abs(t.decisive_score - 0.75) < 1e-9
+    assert t.decisive_games == 4
+    assert t.as_dict()["truncated"] == 14
+    none = ArenaResult(games=4, candidate_wins=0, incumbent_wins=0, draws=4)
+    assert none.decisive_score == 0.5
 
 
 def test_selfplay_resignation():

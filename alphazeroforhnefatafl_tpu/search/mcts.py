@@ -85,6 +85,15 @@ class MCTSConfig:
     #: over the [B, D] path indices — M-independent, wins on big trees), or
     #: "auto" (dense iff M*K <= 32768).
     backup: str = "auto"
+    #: Node-state fetch strategy for the per-wave tree reads: "gather"
+    #: (one B-index ROW gather of the packed f32 state row — the cheap
+    #: gather class, M-independent), "dot" (one-hot [1, M] x [M, P] matmul —
+    #: streams the whole packed buffer every wave, O(M) but MXU-friendly),
+    #: or "auto" (gather everywhere: with ALL state packed into a single
+    #: wide f32 row the gather is one wide-word row fetch; the round-2
+    #: measurement where row gathers lost was against per-field int8/int32
+    #: buffers whose sub-word gathers lower poorly).
+    node_read: str = "auto"
     #: Root action selection: "puct" (the reference's scheme with optional
     #: Dirichlet noise) or "gumbel" (Gumbel top-m + sequential halving with
     #: completed Q-values, Danihelka et al. 2022 — more strength per
@@ -111,14 +120,19 @@ class Tree(struct.PyTreeNode):
     reference's ``Ns`` needs no buffer of its own: every interior pass takes
     exactly one edge, so ``Ns(node) == sum_k Nsa(node, k)`` and it is
     recomputed from the gathered stat row at selection time.
+
+    Node ENV STATE lives in one packed f32 row per node (``_pack_state``):
+    every per-wave state fetch is then a single wide row read instead of a
+    per-field sweep. Round-2 history: per-field one-hot f32 dots beat
+    per-field row gathers (int8/int32 sub-word gathers lower poorly), and a
+    pre-cast f32 board buffer then cut the dots' convert streams (+8% at 800
+    sims); packing ALL fields into that one f32 buffer is the end state —
+    O(1) reads under ``node_read="gather"``, and even ``"dot"`` mode becomes
+    a single [1, M] x [M, P] matmul. All fields hold small integers (the
+    largest, an encoded play record, is < 2^18 at 21x21), so f32 is exact.
     """
 
-    state: EnvState  # [M, ...] env state at each node
-    #: f32 copy of state.board flattened to [M, N*N]: the per-wave one-hot
-    #: state-read dots consume boards pre-cast, skipping the int8->f32
-    #: convert-reduce streams a profiler trace showed at ~21% of wave time
-    #: (docs/ROADMAP.md #1); kept in sync by _materialize_batched.
-    board_f32: jax.Array  # f32[M, N*N]
+    state_packed: jax.Array  # f32[M, P] packed EnvState rows (_pack_state)
     expanded: jax.Array  # bool[M]
     terminal: jax.Array  # bool[M]
     terminal_value: jax.Array  # f32[M] value from node-mover's perspective
@@ -170,6 +184,58 @@ def _sh_considered_schedule(sims: int, m0: int) -> list:
     return out[:sims]
 
 
+def _pack_width(n: int) -> int:
+    """Row width of the packed node-state buffer for an ``n`` x ``n`` board:
+    board cells + 15 scalar slots (side, 4-slot play ring, ring index, 2 rep
+    counters, 2 mid-pair flags, plays_since_capture, turn, terminated,
+    result, reason)."""
+    return n * n + 15
+
+
+def _pack_state(state: EnvState) -> jax.Array:
+    """Flatten one game's EnvState into an f32[P] row (unbatched leaves).
+
+    Exact: every field is a small integer; the widest, an encoded play
+    record ``side + 2*cap + 4*action``, stays < 2^18 even at 21x21 — far
+    inside f32's 2^24 integer range.
+    """
+    f = jnp.float32
+    return jnp.concatenate(
+        [
+            state.board.reshape(-1).astype(f),
+            state.side_to_play.reshape(1).astype(f),
+            state.recent_plays.astype(f),
+            state.rep_first_i.reshape(1).astype(f),
+            state.reps.astype(f),
+            state.mid_pair.astype(f),
+            state.plays_since_capture.reshape(1).astype(f),
+            state.turn.reshape(1).astype(f),
+            state.terminated.reshape(1).astype(f),
+            state.result.reshape(1).astype(f),
+            state.reason.reshape(1).astype(f),
+        ]
+    )
+
+
+def _unpack_state(row: jax.Array, n: int) -> EnvState:
+    """Inverse of :func:`_pack_state` for one f32[P] row."""
+    nn = n * n
+    i = jnp.int32
+    return EnvState(
+        board=row[:nn].reshape(n, n).astype(jnp.int8),
+        side_to_play=row[nn].astype(i),
+        recent_plays=row[nn + 1 : nn + 5].astype(i),
+        rep_first_i=row[nn + 5].astype(i),
+        reps=row[nn + 6 : nn + 8].astype(i),
+        mid_pair=row[nn + 8 : nn + 10].astype(bool),
+        plays_since_capture=row[nn + 10].astype(i),
+        turn=row[nn + 11].astype(i),
+        terminated=row[nn + 12].astype(bool),
+        result=row[nn + 13].astype(i),
+        reason=row[nn + 14].astype(i),
+    )
+
+
 def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
     """Legal-masked, renormalized priors with uniform fallback
     (``src/mcts.py:83-102``)."""
@@ -204,6 +270,9 @@ class MCTS:
         self._approx_topk = config.topk == "approx" or (
             config.topk == "auto" and jax.devices()[0].platform == "tpu"
         )
+        # auto -> gather: one wide f32 row fetch, M-independent (measured
+        # against the one-hot dot on the tunneled v5e, round 3).
+        self._node_gather = config.node_read in ("auto", "gather")
 
     def _topk(self, priors: jax.Array) -> Tuple[jax.Array, jax.Array]:
         if self._approx_topk:
@@ -217,14 +286,9 @@ class MCTS:
     def _empty_tree(self, root_state: EnvState) -> Tree:
         """Single-game empty tree with the root state in slot 0."""
         M, K = self.num_nodes, self.config.max_children
-        states = jax.tree_util.tree_map(
-            lambda x: jnp.broadcast_to(x, (M,) + x.shape), root_state
-        )
-        nn_cells = root_state.board.size
         return Tree(
-            state=states,
-            board_f32=jnp.broadcast_to(
-                root_state.board.reshape(-1).astype(jnp.float32), (M, nn_cells)
+            state_packed=jnp.broadcast_to(
+                _pack_state(root_state), (M, _pack_width(self.env.n))
             ),
             expanded=jnp.zeros((M,), bool),
             terminal=jnp.zeros((M,), bool).at[0].set(root_state.terminated),
@@ -349,61 +413,38 @@ class MCTS:
 
     # -------------------- one simulation wave --------------------
 
-    def _take_node_state(self, tree: Tree, node: jax.Array) -> EnvState:
-        """Per-game node-state read as a one-hot matmul over the node dim.
+    def _node_row(self, tree: Tree, node: jax.Array) -> jax.Array:
+        """Per-game packed state row of ``node`` (f32[P]).
 
-        Batched dynamic gathers over [B, M, ...] buffers are the slowest op
-        class on TPU; a [1, M] x [M, P] dot on the MXU reads the same data
-        contiguously. All EnvState leaves hold small integers, exact in f32.
-
-        Measured round 2: a row-gather formulation (``x[node]`` under vmap)
-        LOST to these dots at both 128 and 800 sims (142k vs 182k and 45.5k
-        vs 48.7k sims/s) — int8 sub-word gathers do not enjoy the cheap
-        row-gather lowering that int32 stat rows do. The board (by far the
-        widest field) reads from the pre-cast ``Tree.board_f32`` buffer, so
-        no per-wave int8->f32 convert stream runs for it (a profiler trace
-        put those convert-reduce fusions at ~21% of wave time).
+        ``node_read="gather"``: one B-index ROW gather — the cheap gather
+        class (same lowering as the traversal's [M, K] stat-row reads), and
+        M-independent. ``"dot"``: one-hot [1, M] x [M, P] matmul — streams
+        the whole packed buffer (O(M) HBM traffic per wave) but rides the
+        MXU; kept for A/B because round 2 proved gather-vs-dot verdicts
+        flip with buffer dtype/layout. Both are exact (f32 integer math).
         """
-        M = tree.board_f32.shape[0]
+        if self._node_gather:
+            return tree.state_packed[node]
+        M = tree.state_packed.shape[0]
         onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]  # [1, M]
-
-        def take(x):
-            xf = x.astype(jnp.float32).reshape(M, -1)
-            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
-            return out.reshape(x.shape[1:]).astype(x.dtype)
-
-        state = jax.tree_util.tree_map(take, tree.state)
-        board = jnp.matmul(
-            onehot, tree.board_f32, preferred_element_type=jnp.float32
+        return jnp.matmul(
+            onehot, tree.state_packed, preferred_element_type=jnp.float32
         )[0]
-        # The int8-path board take inside the tree_map above is dead code
-        # once overridden here; XLA eliminates it.
-        return state.replace(
-            board=board.reshape(state.board.shape).astype(state.board.dtype)
-        )
+
+    def _take_node_state(self, tree: Tree, node: jax.Array) -> EnvState:
+        """Per-game full node-state read: one packed-row fetch + unpack."""
+        return _unpack_state(self._node_row(tree, node), self.env.n)
 
     def _take_observe_fields(self, tree: Tree, node: jax.Array):
-        """Per-game (board, side_to_play, reps) of a node via one-hot dots —
-        the only EnvState fields ``TaflEnv.observe`` reads. The board comes
-        from the pre-cast f32 buffer."""
-        M = tree.board_f32.shape[0]
-        onehot = (jnp.arange(M) == node).astype(jnp.float32)[None, :]
-
-        def take(x):
-            xf = x.astype(jnp.float32).reshape(M, -1)
-            out = jnp.matmul(onehot, xf, preferred_element_type=jnp.float32)[0]
-            return out.reshape(x.shape[1:]).astype(x.dtype)
-
+        """Per-game (board, side_to_play, reps) of a node — the only
+        EnvState fields ``TaflEnv.observe`` reads — from one packed row."""
         n = self.env.n
-        board = (
-            jnp.matmul(onehot, tree.board_f32, preferred_element_type=jnp.float32)[0]
-            .reshape(n, n)
-            .astype(tree.state.board.dtype)
-        )
+        nn = n * n
+        row = self._node_row(tree, node)
         return (
-            board,
-            take(tree.state.side_to_play),
-            take(tree.state.reps),
+            row[:nn].reshape(n, n).astype(jnp.int8),
+            row[nn].astype(jnp.int32),
+            row[nn + 6 : nn + 8].astype(jnp.int32),
         )
 
     def _gather_parent(self, tree: Tree, t):
@@ -411,12 +452,9 @@ class MCTS:
         parent, slot = t["leaf_parent"], t["leaf_slot"]
         parent_state = self._take_node_state(tree, parent)
         K = self.config.max_children
-        M = tree.board_f32.shape[0]
-        onehot_p = (jnp.arange(M) == parent).astype(jnp.float32)[None, :]
-        row = jnp.matmul(
-            onehot_p, tree.child_action.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
-        )[0]  # [K]
+        # [M, K] int32 row gather — the traversal already proves this class
+        # cheap (it reads five such rows per level).
+        row = tree.child_action[parent]  # [K]
         action = jnp.sum(row * (jnp.arange(K) == slot)).astype(jnp.int32)
         return parent_state, jnp.maximum(action, 0)
 
@@ -442,13 +480,7 @@ class MCTS:
                 buf, jnp.where(m, val, cur), new_idx, 1
             )
 
-        state = jax.tree_util.tree_map(wr, tree.state, child_state)
-        board_f32 = wr(
-            tree.board_f32,
-            child_state.board.reshape(child_state.board.shape[0], -1).astype(
-                jnp.float32
-            ),
-        )
+        state_packed = wr(tree.state_packed, jax.vmap(_pack_state)(child_state))
         terminal = wr(tree.terminal, child_state.terminated)
         tvals = jax.vmap(terminal_value)(child_state)
         tval_buf = wr(tree.terminal_value, tvals)
@@ -463,8 +495,7 @@ class MCTS:
             b_ids, jnp.maximum(t["leaf_parent"], 0), jnp.maximum(t["leaf_slot"], 0)
         ].add(delta)
         tree = tree.replace(
-            state=state,
-            board_f32=board_f32,
+            state_packed=state_packed,
             terminal=terminal,
             terminal_value=tval_buf,
             child_node=child_node,

@@ -47,6 +47,14 @@ class SelfPlayConfig:
     resign_threshold: "float | None" = None
     resign_consecutive: int = 2
     resign_disable_frac: float = 0.1
+    #: >0: run each move's search via ``MCTS.search_in_chunks`` with this
+    #: wave-chunk size instead of one monolithic jitted move. Required for
+    #: large simulation budgets (e.g. 800 sims/move): the remote compile
+    #: service degrades/crashes on very long wave scans (docs/DESIGN.md
+    #: "Search compile time"), while the chunked path compiles ONE reusable
+    #: chunk executable. Single-device only (the 800-sim regime is
+    #: single-chip; multi-device self-play uses the jitted shard_map move).
+    search_chunk: int = 0
 
 
 @dataclass
@@ -118,6 +126,17 @@ class SelfPlayActor:
         if sharding is None:
             dispatch = None
         self.dispatch = dispatch
+        if config.search_chunk > 0 and sharding is not None:
+            if sharding.mesh.size > 1:
+                raise ValueError(
+                    "search_chunk (chunk-compiled large-budget search) is a "
+                    "single-device path; use sims that fit one jitted move "
+                    "on sharded meshes"
+                )
+            # 1-device mesh: placement is trivial, the single-program chunked
+            # path is equivalent.
+            sharding = None
+            dispatch = self.dispatch = None
         ki = bool(dispatch.interpret) if dispatch is not None else False
         self.mcts = MCTS(env, evaluate, mcts_config, kernel_interpret=ki)
 
@@ -146,7 +165,53 @@ class SelfPlayActor:
             )
 
         if sharding is None:
-            self._move = jax.jit(move_fn)
+            if config.search_chunk > 0:
+                # Large-budget path: the search runs as repeated calls of ONE
+                # compiled chunk-wave executable (tree carried on device);
+                # only the pre/post stages are separately jitted. ~S/chunk
+                # extra dispatches per move (~2 ms each) — noise against an
+                # 800-wave search.
+                def post_fn(states, legal, action_probs, best_action, root_v,
+                            temps, r_sample, rng):
+                    if mcts_config.root_selection == "gumbel":
+                        actions = best_action
+                    else:
+                        actions = select_actions(
+                            action_probs, legal, temps, r_sample
+                        )
+                    new_states, info = env.step_many(states, actions)
+                    top_p, top_a = jax.lax.top_k(action_probs, config.policy_k)
+                    top_a = jnp.where(top_p > 0, top_a, -1)
+                    return (
+                        new_states,
+                        actions,
+                        info,
+                        top_a.astype(jnp.int32),
+                        top_p,
+                        root_v,
+                        rng,
+                    )
+
+                jit_legal = jax.jit(lambda s: env.legal_mask_many(s))
+                jit_post = jax.jit(post_fn)
+
+                def move_chunked(params, states, temps, rng):
+                    # Same key derivation as the monolithic move_fn, so the
+                    # two paths are bit-identical for a given seed.
+                    rng, r_search, r_sample = jax.random.split(rng, 3)
+                    legal = jit_legal(states)
+                    res = self.mcts.search_in_chunks(
+                        params, states, legal, r_search, add_noise=True,
+                        chunk=config.search_chunk,
+                    )
+                    return jit_post(
+                        states, legal, res.action_probs, res.best_action,
+                        res.root_value, temps, r_sample, rng,
+                    )
+
+                self._move = move_chunked
+            else:
+                self._move = jax.jit(move_fn)
             self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P

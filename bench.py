@@ -29,41 +29,66 @@ TARGET_STEPS_PER_S = 100_000.0
 
 
 def bench_mcts_sims(on_accel: bool) -> dict:
-    """MCTS sims/s with the flagship net (config 4 scale on accelerators)."""
+    """MCTS sims/s with the flagship net (config 4 scale on accelerators).
+
+    Two figures: the 128-sim/32-children self-play regime, and the
+    north-star 800-sim/128-children regime (BASELINE.md config 4 at the
+    letter) via ``search_in_chunks`` (one reusable chunk executable — the
+    compile-safe path for big budgets).
+    """
     from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
     from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
 
-    batch, sims, children, iters = (
-        (1024, 128, 32, 3) if on_accel else (16, 16, 16, 1)
-    )
     env = make_env("copenhagen")
     net = make_network(env.n, channels=64, blocks=6)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
-    mcts = MCTS(
-        env,
-        lambda p, obs: net.apply(p, obs),
-        MCTSConfig(num_simulations=sims, max_children=children, dirichlet_eps=0.0),
-    )
-    state = env.reset_batch(batch)
-    legal = jax.jit(jax.vmap(env.legal_mask))(state)
 
-    def run(params, state, legal, rng):
-        res = mcts.search(params, state, legal, rng, add_noise=False)
-        return jnp.sum(res.root_visits) + jnp.sum(res.action_probs)
+    def one(batch, sims, children, iters, chunk):
+        mcts = MCTS(
+            env,
+            lambda p, obs: net.apply(p, obs),
+            MCTSConfig(
+                num_simulations=sims, max_children=children, dirichlet_eps=0.0
+            ),
+        )
+        state = env.reset_batch(batch)
+        legal = jax.jit(jax.vmap(env.legal_mask))(state)
 
-    run = jax.jit(run)
-    rng = jax.random.PRNGKey(1)
-    np.asarray(run(params, state, legal, rng))  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        rng, sub = jax.random.split(rng)
-        checksum = run(params, state, legal, sub)
-    np.asarray(checksum)
-    dt = time.perf_counter() - t0
-    return {
-        "mcts_sims_per_s": round(batch * sims * iters / dt, 1),
-        "mcts_config": f"b{batch}_s{sims}_k{children}",
-    }
+        if chunk:
+            def run(params, state, legal, rng):
+                res = mcts.search_in_chunks(
+                    params, state, legal, rng, add_noise=False, chunk=chunk
+                )
+                return jnp.sum(res.root_visits) + jnp.sum(res.action_probs)
+        else:
+            def run(params, state, legal, rng):
+                res = mcts.search(params, state, legal, rng, add_noise=False)
+                return jnp.sum(res.root_visits) + jnp.sum(res.action_probs)
+
+            run = jax.jit(run)
+        rng = jax.random.PRNGKey(1)
+        np.asarray(run(params, state, legal, rng))  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            rng, sub = jax.random.split(rng)
+            checksum = run(params, state, legal, sub)
+        np.asarray(checksum)
+        dt = time.perf_counter() - t0
+        return round(batch * sims * iters / dt, 1)
+
+    if on_accel:
+        out = {
+            "mcts_sims_per_s": one(1024, 128, 32, 3, 0),
+            "mcts_config": "b1024_s128_k32",
+            "mcts_sims_per_s_800": one(1024, 800, 128, 2, 100),
+            "mcts_config_800": "b1024_s800_k128_c100",
+        }
+    else:
+        out = {
+            "mcts_sims_per_s": one(16, 16, 16, 1, 0),
+            "mcts_config": "b16_s16_k16",
+        }
+    return out
 
 
 def build_rollout(env, batch: int, chunk: int, use_kernel: bool = True):

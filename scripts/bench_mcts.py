@@ -18,13 +18,15 @@ from alphazeroforhnefatafl_tpu.models.network import init_params, make_network
 from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
 
 
-def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6, chunk=0):
+def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6,
+          chunk=0, node_read="auto", unroll=4):
     env = make_env("copenhagen")
     net = make_network(env.n, channels=channels, blocks=blocks)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
     evaluate = lambda p, obs: net.apply(p, obs)
     cfg = MCTSConfig(
-        num_simulations=sims, max_children=children, dirichlet_eps=0.0
+        num_simulations=sims, max_children=children, dirichlet_eps=0.0,
+        node_read=node_read, traverse_unroll=unroll,
     )
     mcts = MCTS(env, evaluate, cfg)
 
@@ -69,7 +71,8 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
         json.dumps(
             {
                 "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}"
-                + (f"_c{chunk}" if chunk else ""),
+                + (f"_c{chunk}" if chunk else "")
+                + f"_{node_read}_u{unroll}",
                 "value": round(sims_per_s, 1),
                 "unit": "sims/s",
                 "compile_s": round(compile_s, 1),
@@ -89,5 +92,9 @@ if __name__ == "__main__":
     p.add_argument("--iters", type=int, default=4)
     p.add_argument("--chunk", type=int, default=0,
                    help="use search_in_chunks with this wave-chunk size")
+    p.add_argument("--node-read", default="auto", choices=["auto", "gather", "dot"])
+    p.add_argument("--unroll", type=int, default=4,
+                   help="traversal levels per while-loop iteration")
     a = p.parse_args()
-    bench(a.batch, a.sims, a.children, a.iters, chunk=a.chunk)
+    bench(a.batch, a.sims, a.children, a.iters, chunk=a.chunk,
+          node_read=a.node_read, unroll=a.unroll)

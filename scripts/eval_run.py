@@ -38,6 +38,13 @@ def main():
                    help="ladder size: evenly-spaced steps across the run")
     p.add_argument("--max-game-len", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--anchors",
+        default="",
+        help="comma-separated net-free anchors to ladder alongside the "
+        "checkpoints: uniform,material,random (train/anchors.py). Fixed "
+        "external reference points, comparable across runs/rounds.",
+    )
     a = p.parse_args()
 
     env = make_env(a.preset)
@@ -63,8 +70,27 @@ def main():
             named.append((f"iter{s:03d}", ts.params))
         except Exception as e:  # skip foreign/corrupt steps
             print(f"skip step {s}: {type(e).__name__}", file=sys.stderr)
+
+    if a.anchors:
+        from alphazeroforhnefatafl_tpu.train.anchors import (
+            ANCHOR_CODES,
+            ANCHOR_NET,
+            anchor_params,
+            make_anchored_evaluate,
+        )
+
+        # Wrap every entry so anchors and checkpoints share one pytree shape.
+        named = [(n, anchor_params(p_, ANCHOR_NET)) for n, p_ in named]
+        for name in a.anchors.split(","):
+            named.append(
+                (f"anchor_{name}", anchor_params(base.params, ANCHOR_CODES[name]))
+            )
+        evaluate = make_anchored_evaluate(
+            lambda p_, obs: net.apply(p_, obs), env
+        )
+    else:
+        evaluate = jax.jit(lambda p_, obs: net.apply(p_, obs))
     print(f"laddering {[n for n, _ in named]}", file=sys.stderr)
-    evaluate = jax.jit(lambda p_, obs: net.apply(p_, obs))
     ratings, wins, games = ladder(
         env,
         evaluate,
@@ -76,6 +102,11 @@ def main():
         rng=jax.random.PRNGKey(a.seed),
         max_game_len=a.max_game_len,
     )
+    if "anchor_uniform" in ratings:
+        # Re-anchor the scale to the net-free uniform-prior MCTS: a fixed
+        # external zero point, comparable across runs and rounds.
+        shift = ratings["anchor_uniform"]
+        ratings = {k: v - shift for k, v in ratings.items()}
     print(json.dumps({"ratings": ratings, "wins": wins.tolist()}))
 
 

@@ -37,6 +37,9 @@ def main():
     p.add_argument("--resign", type=float, default=None,
                    help="resign threshold (e.g. 0.95); None disables")
     p.add_argument("--sims", type=int, default=128)
+    p.add_argument("--search-chunk", type=int, default=0,
+                   help=">0: chunk-compiled search (required for 800-sim "
+                        "budgets; e.g. 100)")
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
     p.add_argument("--gumbel-considered", type=int, default=16)
@@ -54,6 +57,10 @@ def main():
     p.add_argument("--arena-max-len", type=int, default=200)
     p.add_argument("--arena-every", type=int, default=1)
     p.add_argument("--gate", type=float, default=0.55)
+    p.add_argument("--gate-on", default="score", choices=["score", "decisive"],
+                   help="'decisive' gates on decisive-game win rate "
+                        "(draw-robust)")
+    p.add_argument("--gate-min-decisive", type=int, default=4)
     p.add_argument("--checkpoint-every", type=int, default=2)
     p.add_argument("--checkpoint-keep", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
@@ -81,6 +88,8 @@ def main():
         arena_max_game_len=args.arena_max_len,
         arena_every=args.arena_every,
         gate_threshold=args.gate,
+        gate_on=args.gate_on,
+        gate_min_decisive=args.gate_min_decisive,
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         checkpoint_every=args.checkpoint_every,
         checkpoint_keep=args.checkpoint_keep,
@@ -97,6 +106,7 @@ def main():
             temp_threshold=args.temp_threshold,
             max_game_len=args.max_game_len,
             resign_threshold=args.resign,
+            search_chunk=args.search_chunk,
         ),
     )
     deadline = time.time() + args.hours * 3600 if args.hours else None

@@ -204,6 +204,55 @@ def run_jax_mcts(env, cfg, state_batched, legal_batched):
     return search(state_batched, legal_batched, jax.random.PRNGKey(0))
 
 
+def test_packed_state_roundtrip_and_node_read_modes():
+    """_pack_state/_unpack_state are exact inverses on real mid-game states,
+    and node_read='gather' vs 'dot' produce bit-identical search results."""
+    from alphazeroforhnefatafl_tpu.search.mcts import _pack_state, _unpack_state
+
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    # Drive a few random plies so recent_plays/reps/turn are non-trivial.
+    state = env.reset_batch(4)
+    rng = jax.random.PRNGKey(5)
+    step = jax.jit(lambda s, a: env.step_many(s, a))
+    for _ in range(6):
+        legal = jax.vmap(env.legal_mask)(state)
+        rng, k = jax.random.split(rng)
+        noise = jax.random.uniform(k, legal.shape)
+        acts = jnp.argmax(legal * noise, axis=-1).astype(jnp.int32)
+        state, _ = step(state, acts)
+    packed = jax.vmap(_pack_state)(state)
+    back = jax.vmap(lambda r: _unpack_state(r, env.n))(packed)
+    for name in state.__dataclass_fields__:
+        a, b = getattr(state, name), getattr(back, name)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=name)
+        assert a.dtype == b.dtype, name
+
+    legal = jax.vmap(env.legal_mask)(state)
+    results = {}
+    for mode in ("gather", "dot"):
+        cfg = MCTSConfig(
+            num_simulations=24, max_children=16, dirichlet_eps=0.0,
+            max_depth=16, node_read=mode,
+        )
+        mcts = MCTS(env, make_fake_evaluate(env), cfg)
+        res = jax.jit(
+            lambda s, l, r: mcts.search(None, s, l, r, add_noise=False)
+        )(state, legal, jax.random.PRNGKey(0))
+        results[mode] = res
+    np.testing.assert_array_equal(
+        np.asarray(results["gather"].tree.child_N),
+        np.asarray(results["dot"].tree.child_N),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(results["gather"].action_probs),
+        np.asarray(results["dot"].action_probs),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(results["gather"].root_value),
+        np.asarray(results["dot"].root_value),
+    )
+
+
 def batchify(env, ostates):
     """Build a batched EnvState from oracle states (fresh trackers)."""
     states = []

@@ -134,6 +134,106 @@ def test_arena_result_math():
     assert none.decisive_score == 0.5
 
 
+def test_anchor_opponents():
+    """Net-free ladder anchors (train/anchors.py): the evaluate wrapper
+    dispatches on the anchor code, and a material-value MCTS beats the
+    random-legal bot over a small match."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphazeroforhnefatafl_tpu.core.env import make_env
+    from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig
+    from alphazeroforhnefatafl_tpu.train.anchors import (
+        ANCHOR_MATERIAL,
+        ANCHOR_RANDOM,
+        ANCHOR_UNIFORM,
+        anchor_params,
+        make_anchored_evaluate,
+    )
+    from alphazeroforhnefatafl_tpu.train.arena import play_match
+
+    env = make_env("brandubh")
+
+    def fake_net(params, obs):
+        b = obs.shape[0]
+        return jnp.full((b, env.num_actions), 7.0), jnp.full((b,), 0.9)
+
+    evaluate = make_anchored_evaluate(fake_net, env)
+    state = env.reset_batch(3)
+    obs = jax.vmap(env.observe)(state)
+
+    lg_u, v_u = evaluate(anchor_params(None, ANCHOR_UNIFORM), obs)
+    assert np.allclose(np.asarray(lg_u), 0.0) and np.allclose(np.asarray(v_u), 0.0)
+    lg_m, v_m = evaluate(anchor_params(None, ANCHOR_MATERIAL), obs)
+    # Start position, attacker to move: material balance is exactly 0.
+    assert np.allclose(np.asarray(v_m), 0.0)
+    lg_r, _ = evaluate(anchor_params(None, ANCHOR_RANDOM), obs)
+    r = np.asarray(lg_r)
+    assert r.std() > 100.0  # huge pseudo-random priors
+    # Deterministic in the position: same obs -> same logits.
+    lg_r2, _ = evaluate(anchor_params(None, ANCHOR_RANDOM), obs)
+    np.testing.assert_array_equal(r, np.asarray(lg_r2))
+
+    res = play_match(
+        env,
+        evaluate,
+        anchor_params(None, ANCHOR_UNIFORM),
+        anchor_params(None, ANCHOR_RANDOM),
+        MCTSConfig(num_simulations=48, max_children=32, max_depth=24,
+                   dirichlet_eps=0.0),
+        num_games=8,
+        max_game_len=120,
+        rng=jax.random.PRNGKey(4),
+    )
+    # Terminal-value search must clearly beat blind random play.
+    assert res.candidate_wins > res.incumbent_wins, res.as_dict()
+
+
+def test_selfplay_chunked_search_matches_monolithic():
+    """The search_chunk actor path (chunk-compiled search + jitted post)
+    must reproduce the monolithic jitted move bit-for-bit: same replay
+    contents and stats for the same seed."""
+    import jax
+
+    from alphazeroforhnefatafl_tpu.core.env import make_env
+    from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig
+    from alphazeroforhnefatafl_tpu.train.replay import ReplayBuffer
+    from alphazeroforhnefatafl_tpu.train.selfplay import (
+        SelfPlayActor,
+        SelfPlayConfig,
+    )
+
+    env = make_env("brandubh")
+
+    def evaluate(params, obs):
+        import jax.numpy as jnp
+
+        b = obs.shape[0]
+        return jnp.zeros((b, env.num_actions)), jnp.sum(
+            obs[..., 1], axis=(1, 2)
+        ) * 0.01
+
+    mcts_cfg = MCTSConfig(num_simulations=8, max_children=8, max_depth=12)
+    outs = []
+    for chunk in (0, 4):
+        cfg = SelfPlayConfig(
+            batch_size=4, temp_threshold=3, max_game_len=30, policy_k=8,
+            search_chunk=chunk,
+        )
+        actor = SelfPlayActor(env, evaluate, mcts_cfg, cfg)
+        replay = ReplayBuffer(env, 1_024, cfg.policy_k)
+        stats = actor.play(None, replay, jax.random.PRNGKey(7), num_games=4)
+        outs.append((stats, replay))
+    s0, r0 = outs[0]
+    s1, r1 = outs[1]
+    assert s0.as_dict() == s1.as_dict()
+    np.testing.assert_array_equal(r0.board[: r0.size], r1.board[: r1.size])
+    np.testing.assert_array_equal(r0.value[: r0.size], r1.value[: r1.size])
+    np.testing.assert_array_equal(
+        r0.policy_idx[: r0.size], r1.policy_idx[: r1.size]
+    )
+
+
 def test_selfplay_resignation():
     """Value-based resignation: with an always-losing fake value for the
     mover, enabled games resign after resign_consecutive moves; monitoring

@@ -38,6 +38,32 @@ class ResBlock(nn.Module):
         return nn.relu(x + y)
 
 
+class NFResBlock(nn.Module):
+    """Norm-free residual block (SkipInit / NFNet-style).
+
+    A round-2 profiler trace put the NN forward at ~1.5 ms/wave with
+    GroupNorm's many medium cross-channel reductions dominating — the MXU
+    idles while the VPU reduces (docs/ROADMAP.md #5). This block removes the
+    norms entirely: pre-activation convs with a per-block learnable scalar
+    branch gain initialized at 0 (SkipInit, De & Smith 2020), so the network
+    starts as the identity and signal variance cannot explode with depth.
+    The residual stream stays un-normalized, which XLA fuses into pure
+    conv+elementwise chains.
+    """
+
+    channels: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.relu(x)
+        y = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(y)
+        gain = self.param("skip_gain", nn.initializers.zeros, (1,), jnp.float32)
+        return x + gain.astype(self.dtype) * y
+
+
 class PolicyValueNet(nn.Module):
     """AlphaZero-style residual policy/value network.
 
@@ -52,22 +78,33 @@ class PolicyValueNet(nn.Module):
     blocks: int = 6
     value_hidden: int = 128
     dtype: Any = jnp.bfloat16
+    #: "group" (GroupNorm blocks) or "none" (norm-free :class:`NFResBlock`
+    #: trunk — no cross-channel reductions in the hot forward).
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x) -> Tuple[jax.Array, jax.Array]:
         n = self.board_size
+        norm_free = self.norm == "none"
         x = x.astype(self.dtype)
-        x = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
-        x = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(x)
-        x = nn.relu(x)
-        for _ in range(self.blocks):
-            x = ResBlock(self.channels, dtype=self.dtype)(x)
+        if norm_free:
+            x = nn.Conv(self.channels, (3, 3), dtype=self.dtype)(x)
+            for _ in range(self.blocks):
+                x = NFResBlock(self.channels, dtype=self.dtype)(x)
+            x = nn.relu(x)
+        else:
+            x = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
+            x = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(x)
+            x = nn.relu(x)
+            for _ in range(self.blocks):
+                x = ResBlock(self.channels, dtype=self.dtype)(x)
 
         # Policy head: one output plane per (direction, distance) pair, in the
         # action-encoding order dir-major then distance.
         move_planes = 4 * (n - 1)
-        p = nn.Conv(self.channels, (3, 3), use_bias=False, dtype=self.dtype)(x)
-        p = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(p)
+        p = nn.Conv(self.channels, (3, 3), use_bias=not norm_free, dtype=self.dtype)(x)
+        if not norm_free:
+            p = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(p)
         p = nn.relu(p)
         p = nn.Conv(move_planes, (1, 1), dtype=jnp.float32)(p)
         policy_logits = p.reshape(p.shape[0], n * n * move_planes)
@@ -83,8 +120,12 @@ class PolicyValueNet(nn.Module):
         return policy_logits, value
 
 
-def make_network(board_size: int, channels: int = 64, blocks: int = 6) -> PolicyValueNet:
-    return PolicyValueNet(board_size=board_size, channels=channels, blocks=blocks)
+def make_network(
+    board_size: int, channels: int = 64, blocks: int = 6, norm: str = "group"
+) -> PolicyValueNet:
+    return PolicyValueNet(
+        board_size=board_size, channels=channels, blocks=blocks, norm=norm
+    )
 
 
 def init_params(net: PolicyValueNet, rng: jax.Array, num_planes: int):

@@ -34,6 +34,7 @@ def main():
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--norm", default="group", choices=["group", "none"])
     p.add_argument("--max-steps", type=int, default=8,
                    help="ladder size: evenly-spaced steps across the run")
     p.add_argument("--max-game-len", type=int, default=256)
@@ -48,7 +49,7 @@ def main():
     a = p.parse_args()
 
     env = make_env(a.preset)
-    net = make_network(env.n, channels=a.channels, blocks=a.blocks)
+    net = make_network(env.n, channels=a.channels, blocks=a.blocks, norm=a.norm)
     opt = make_optimizer()
     base = init_train_state(
         net, jax.random.PRNGKey(0), env.num_observation_planes, opt

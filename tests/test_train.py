@@ -2,6 +2,7 @@
 action selection, arena scoring."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -73,9 +74,10 @@ def test_batch_builder_reconstruction():
     assert np.allclose(obs[..., 5], 2.0 / 3.0)
 
 
-def test_train_step_reduces_loss():
+@pytest.mark.parametrize("norm", ["group", "none"])
+def test_train_step_reduces_loss(norm):
     env = _env()
-    net = make_network(env.n, channels=8, blocks=1)
+    net = make_network(env.n, channels=8, blocks=1, norm=norm)
     opt = make_optimizer(learning_rate=1e-2, warmup_steps=1)
     state = init_train_state(net, jax.random.PRNGKey(0), env.num_observation_planes, opt)
     step = jax.jit(make_train_step(net, opt))

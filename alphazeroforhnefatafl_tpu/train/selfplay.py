@@ -55,6 +55,16 @@ class SelfPlayConfig:
     #: chunk executable. Single-device only (the 800-sim regime is
     #: single-chip; multi-device self-play uses the jitted shard_map move).
     search_chunk: int = 0
+    #: >0: device-side episode accumulation — one jitted ``lax.scan``
+    #: advances this many MOVES per call entirely on device (search, action
+    #: selection, env step, resignation streaks, auto-reset), emitting the
+    #: per-move position stream + end events; the host gets ONE transfer per
+    #: chunk instead of ~8 device round-trips per move (each ~2 ms on the
+    #: tunneled backend) and stitches episodes by game slot. RNG-compatible
+    #: with the host loop: with resignation off the two paths produce
+    #: bit-identical games for the same seed (tested). Mutually exclusive
+    #: with search_chunk (the search must inline into the scan body).
+    scan_moves: int = 0
 
 
 @dataclass
@@ -126,17 +136,21 @@ class SelfPlayActor:
         if sharding is None:
             dispatch = None
         self.dispatch = dispatch
-        if config.search_chunk > 0 and sharding is not None:
+        if (config.search_chunk > 0 or config.scan_moves > 0) and sharding is not None:
             if sharding.mesh.size > 1:
                 raise ValueError(
-                    "search_chunk (chunk-compiled large-budget search) is a "
-                    "single-device path; use sims that fit one jitted move "
-                    "on sharded meshes"
+                    "search_chunk / scan_moves are single-device paths; "
+                    "multi-device self-play uses the jitted shard_map move"
                 )
             # 1-device mesh: placement is trivial, the single-program chunked
             # path is equivalent.
             sharding = None
             dispatch = self.dispatch = None
+        if config.search_chunk > 0 and config.scan_moves > 0:
+            raise ValueError(
+                "scan_moves inlines the search into a device scan; it cannot "
+                "combine with the chunk-compiled search (search_chunk)"
+            )
         ki = bool(dispatch.interpret) if dispatch is not None else False
         self.mcts = MCTS(env, evaluate, mcts_config, kernel_interpret=ki)
 
@@ -213,6 +227,10 @@ class SelfPlayActor:
             else:
                 self._move = jax.jit(move_fn)
             self._reset_batch = jax.jit(lambda: env.reset_batch(config.batch_size))
+            if config.scan_moves > 0:
+                self._scan_chunk = jax.jit(
+                    self._build_scan_chunk(move_fn)
+                )
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -261,6 +279,199 @@ class SelfPlayActor:
                 lambda: env.reset_batch(config.batch_size), out_shardings=sharding
             )
 
+    def _build_scan_chunk(self, move_fn):
+        """Device move loop: one jitted ``lax.scan`` advancing ``scan_moves``
+        moves — search, action selection, env step, resignation streak
+        tracking and auto-reset all on device — emitting the position stream
+        and end events as scan ys (ONE host transfer per chunk).
+
+        RNG discipline mirrors the host loop exactly (one ``split`` per move
+        feeding the move fn), so with resignation off the two paths play
+        bit-identical games; resignation's enable redraws consume a separate
+        carried key, leaving the action stream untouched.
+        """
+        env, config = self.env, self.cfg
+        B, L = config.batch_size, config.max_game_len
+        resign_on = config.resign_threshold is not None
+        rows = jnp.arange(B)
+
+        def chunk(params, carry):
+            def body(carry, _):
+                states, ep_len, rng, streak, enabled, would, resign_rng = carry
+                rng, sub = jax.random.split(rng)
+                temps = (ep_len < config.temp_threshold).astype(jnp.float32)
+                b_board = states.board
+                b_side = states.side_to_play
+                b_reps = states.reps[rows, b_side]
+
+                new_states, actions, info, top_a, top_p, root_v, _ = move_fn(
+                    params, states, temps, sub
+                )
+                done = new_states.terminated
+                results = new_states.result
+                new_len = ep_len + 1
+                truncate = (new_len >= L) & ~done
+                if resign_on:
+                    low = root_v < -config.resign_threshold
+                    cur = streak[rows, b_side]
+                    streak = streak.at[rows, b_side].set(
+                        jnp.where(low, cur + 1, 0)
+                    )
+                    trig = streak[rows, b_side] >= config.resign_consecutive
+                    resign_now = trig & enabled & ~done & ~truncate
+                    first = trig & ~enabled & (would < 0)
+                    would = jnp.where(first, b_side.astype(jnp.int8), would)
+                else:
+                    resign_now = jnp.zeros((B,), bool)
+                end = done | truncate | resign_now
+                result_out = jnp.where(
+                    done, results, jnp.where(resign_now, 1 - b_side, DRAW)
+                ).astype(jnp.int32)
+
+                fresh = env.reset_batch(B)
+
+                def where_end(f, c):
+                    d = end.reshape(end.shape + (1,) * (c.ndim - 1))
+                    return jnp.where(d, f, c)
+
+                states_next = jax.tree_util.tree_map(where_end, fresh, new_states)
+                ep_len = jnp.where(end, 0, new_len)
+                streak = jnp.where(end[:, None], 0, streak)
+                resign_rng, k = jax.random.split(resign_rng)
+                redraw = jax.random.uniform(k, (B,)) >= config.resign_disable_frac
+                enabled = jnp.where(end, redraw, enabled)
+                monitor = jnp.where(end, would, -1).astype(jnp.int8)
+                would = jnp.where(end, jnp.int8(-1), would)
+
+                ys = dict(
+                    board=b_board,
+                    side=b_side.astype(jnp.int8),
+                    reps=b_reps.astype(jnp.int8),
+                    top_a=top_a,
+                    top_p=top_p,
+                    root_v=root_v,
+                    ended=end,
+                    result=result_out,
+                    truncated=truncate,
+                    resigned=resign_now,
+                    monitor=monitor,
+                )
+                return (
+                    states_next, ep_len, rng, streak, enabled, would, resign_rng
+                ), ys
+
+            return jax.lax.scan(body, carry, None, length=config.scan_moves)
+
+        return chunk
+
+    def _play_scan(
+        self,
+        params,
+        replay: Optional[ReplayBuffer],
+        rng: jax.Array,
+        num_games: int,
+        stats: SelfPlayStats,
+    ) -> SelfPlayStats:
+        """Scan-path ``play``: device-side episode accumulation (see
+        ``SelfPlayConfig.scan_moves``)."""
+        cfg = self.cfg
+        B = cfg.batch_size
+        states = self._reset_batch()
+        resign_rng, en_key = jax.random.split(jax.random.fold_in(rng, 0x5EED))
+        enabled = (
+            jax.random.uniform(en_key, (B,)) >= cfg.resign_disable_frac
+        )
+        carry = (
+            states,
+            jnp.zeros((B,), jnp.int32),
+            rng,
+            jnp.zeros((B, 2), jnp.int32),
+            enabled,
+            jnp.full((B,), -1, jnp.int8),
+            resign_rng,
+        )
+        # Per-slot pending positions carried across chunks (list of per-chunk
+        # array dicts).
+        pend = [[] for _ in range(B)]
+        completed = 0
+        while completed < num_games:
+            carry, ys = self._scan_chunk(params, carry)
+            ys_np = {k: np.asarray(v) for k, v in ys.items()}
+            completed += self._flush_scan_chunk(ys_np, pend, replay, stats)
+        return stats
+
+    _POS_FIELDS = ("board", "side", "reps", "top_a", "top_p", "root_v")
+
+    def _flush_scan_chunk(self, ys, pend, replay, stats) -> int:
+        """Stitch episodes out of one chunk's position stream: each slot's
+        timeline is cut at its end events; completed episodes get final
+        value targets and go to replay. Returns episodes completed."""
+        cfg = self.cfg
+        n_done = 0
+        B = ys["ended"].shape[1]
+        for g in range(B):
+            seg = {f: ys[f][:, g] for f in self._POS_FIELDS}
+            events = np.nonzero(ys["ended"][:, g])[0]
+            start = 0
+            for t in events:
+                parts = pend[g] + [
+                    {f: seg[f][start : t + 1] for f in self._POS_FIELDS}
+                ]
+                pend[g] = []
+                ep = {
+                    f: np.concatenate([p[f] for p in parts])
+                    for f in self._POS_FIELDS
+                }
+                start = t + 1
+                length = len(ep["side"])
+                r = int(ys["result"][t, g])
+                truncated = bool(ys["truncated"][t, g])
+                resigned = bool(ys["resigned"][t, g])
+                monitor = int(ys["monitor"][t, g])
+                sides = ep["side"]
+                if truncated and cfg.bootstrap_truncated:
+                    v_last = float(ep["root_v"][length - 1])
+                    z = np.where(
+                        sides == sides[length - 1], v_last, -v_last
+                    ).astype(np.float32)
+                elif r == DRAW:
+                    z = np.zeros(length, np.float32)
+                else:
+                    z = np.where(sides == r, 1.0, -1.0).astype(np.float32)
+                if replay is not None:
+                    replay.add(
+                        ep["board"], sides, ep["reps"], ep["top_a"],
+                        ep["top_p"], z,
+                    )
+                stats.games += 1
+                stats.positions += length
+                stats.length_sum += length
+                if truncated:
+                    stats.truncated += 1
+                    stats.draws += 1
+                    if monitor >= 0:
+                        stats.resign_checked += 1
+                        stats.resign_false_positive += 1  # draw, not a loss
+                else:
+                    if r == DRAW:
+                        stats.draws += 1
+                    elif r == 0:
+                        stats.attacker_wins += 1
+                    else:
+                        stats.defender_wins += 1
+                    if resigned:
+                        stats.resigned += 1
+                    elif monitor >= 0:
+                        stats.resign_checked += 1
+                        if r != 1 - monitor:
+                            stats.resign_false_positive += 1
+                n_done += 1
+            if start < seg["side"].shape[0]:
+                pend[g].append(
+                    {f: seg[f][start:] for f in self._POS_FIELDS}
+                )
+        return n_done
+
     def play(
         self,
         params,
@@ -275,6 +486,8 @@ class SelfPlayActor:
         B, L, K = cfg.batch_size, cfg.max_game_len, cfg.policy_k
         n = env.n
         stats = stats or SelfPlayStats()
+        if cfg.scan_moves > 0:
+            return self._play_scan(params, replay, rng, num_games, stats)
 
         states = self._reset_batch()
         # Per-game episode buffers (host, numpy).

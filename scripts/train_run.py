@@ -40,6 +40,9 @@ def main():
     p.add_argument("--search-chunk", type=int, default=0,
                    help=">0: chunk-compiled search (required for 800-sim "
                         "budgets; e.g. 100)")
+    p.add_argument("--scan-moves", type=int, default=0,
+                   help=">0: device-side episode accumulation — this many "
+                        "moves per dispatch via lax.scan (single-chip)")
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
     p.add_argument("--gumbel-considered", type=int, default=16)
@@ -52,6 +55,8 @@ def main():
     p.add_argument("--lr", type=float, default=2e-3)
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--norm", default="group", choices=["group", "none"],
+                   help="'none' = norm-free NFResBlock trunk")
     p.add_argument("--arena-games", type=int, default=64)
     p.add_argument("--arena-sims", type=int, default=64)
     p.add_argument("--arena-max-len", type=int, default=200)
@@ -83,6 +88,7 @@ def main():
         learning_rate=args.lr,
         channels=args.channels,
         blocks=args.blocks,
+        norm=args.norm,
         arena_games=args.arena_games,
         arena_sims=args.arena_sims,
         arena_max_game_len=args.arena_max_len,
@@ -107,6 +113,7 @@ def main():
             max_game_len=args.max_game_len,
             resign_threshold=args.resign,
             search_chunk=args.search_chunk,
+            scan_moves=args.scan_moves,
         ),
     )
     deadline = time.time() + args.hours * 3600 if args.hours else None

@@ -63,7 +63,10 @@ class SelfPlayConfig:
     #: tunneled backend) and stitches episodes by game slot. RNG-compatible
     #: with the host loop: with resignation off the two paths produce
     #: bit-identical games for the same seed (tested). Mutually exclusive
-    #: with search_chunk (the search must inline into the scan body).
+    #: with search_chunk (the search must inline into the scan body). On a
+    #: >1-device mesh the WHOLE move scan runs as the local program of one
+    #: ``shard_map`` — zero collectives, one global transfer per chunk
+    #: (tested collective-free on the 8-device CPU mesh).
     scan_moves: int = 0
 
 
@@ -138,14 +141,17 @@ class SelfPlayActor:
         self.dispatch = dispatch
         if (config.search_chunk > 0 or config.scan_moves > 0) and sharding is not None:
             if sharding.mesh.size > 1:
-                raise ValueError(
-                    "search_chunk / scan_moves are single-device paths; "
-                    "multi-device self-play uses the jitted shard_map move"
-                )
-            # 1-device mesh: placement is trivial, the single-program chunked
-            # path is equivalent.
-            sharding = None
-            dispatch = self.dispatch = None
+                if config.search_chunk > 0:
+                    raise ValueError(
+                        "search_chunk (chunk-compiled large-budget search) is "
+                        "a single-device path; use sims that fit one jitted "
+                        "move on sharded meshes (scan_moves works sharded)"
+                    )
+            else:
+                # 1-device mesh: placement is trivial, the single-program
+                # chunked path is equivalent.
+                sharding = None
+                dispatch = self.dispatch = None
         if config.search_chunk > 0 and config.scan_moves > 0:
             raise ValueError(
                 "scan_moves inlines the search into a device scan; it cannot "
@@ -278,8 +284,56 @@ class SelfPlayActor:
             self._reset_batch = jax.jit(
                 lambda: env.reset_batch(config.batch_size), out_shardings=sharding
             )
+            if config.scan_moves > 0:
+                # Sharded scan path: the WHOLE move scan is the local program
+                # of one shard_map — each device advances its slice of the
+                # games for scan_moves moves with zero collectives; the host
+                # receives one global [T, B, ...] transfer per chunk. The
+                # carried keys stay replicated (split happens identically on
+                # every shard); per-move exploration keys fold in the shard
+                # index, mirroring the per-move sharded path above.
+                if dispatch is None:
+                    raise ValueError(
+                        "scan_moves on a >1-device mesh requires the "
+                        "shard_map dispatch (dispatch='auto')"
+                    )
+                mesh_size = dispatch.mesh.size
+                if config.batch_size % mesh_size:
+                    raise ValueError(
+                        "scan_moves: batch_size must divide the mesh size"
+                    )
+                axis = dispatch.axis
+                local_chunk = self._build_scan_chunk(
+                    move_fn,
+                    batch=config.batch_size // mesh_size,
+                    key_xform=lambda k: jax.random.fold_in(
+                        k, jax.lax.axis_index(axis)
+                    ),
+                )
+                P_ = P
+                carry_specs = (
+                    P_(axis),  # states (spec prefix over the EnvState tree)
+                    P_(axis),  # ep_len
+                    P_(),      # rng (replicated, identical split chain)
+                    P_(axis),  # resign streaks
+                    P_(axis),  # resign enabled
+                    P_(axis),  # would-resign side
+                    P_(),      # resign rng (replicated; redraws fold idx)
+                )
+                ys_spec = P_(None, axis)  # [T, B_local, ...] per shard
 
-    def _build_scan_chunk(self, move_fn):
+                def scan_sharded(params, carry):
+                    return jax.shard_map(
+                        local_chunk,
+                        mesh=dispatch.mesh,
+                        in_specs=(P_(), carry_specs),
+                        out_specs=(carry_specs, ys_spec),
+                        check_vma=False,
+                    )(params, carry)
+
+                self._scan_chunk = jax.jit(scan_sharded)
+
+    def _build_scan_chunk(self, move_fn, batch=None, key_xform=None):
         """Device move loop: one jitted ``lax.scan`` advancing ``scan_moves``
         moves — search, action selection, env step, resignation streak
         tracking and auto-reset all on device — emitting the position stream
@@ -289,9 +343,16 @@ class SelfPlayActor:
         feeding the move fn), so with resignation off the two paths play
         bit-identical games; resignation's enable redraws consume a separate
         carried key, leaving the action stream untouched.
+
+        ``batch``/``key_xform`` parametrize the sharded variant: the scan
+        runs as the LOCAL program of a whole-chunk ``shard_map`` (``batch`` =
+        per-device games, ``key_xform`` folds the shard index into each
+        move's key so exploration is independent across shards while the
+        carried key stays replicated).
         """
         env, config = self.env, self.cfg
-        B, L = config.batch_size, config.max_game_len
+        B = config.batch_size if batch is None else batch
+        L = config.max_game_len
         resign_on = config.resign_threshold is not None
         rows = jnp.arange(B)
 
@@ -299,6 +360,8 @@ class SelfPlayActor:
             def body(carry, _):
                 states, ep_len, rng, streak, enabled, would, resign_rng = carry
                 rng, sub = jax.random.split(rng)
+                if key_xform is not None:
+                    sub = key_xform(sub)
                 temps = (ep_len < config.temp_threshold).astype(jnp.float32)
                 b_board = states.board
                 b_side = states.side_to_play
@@ -338,6 +401,8 @@ class SelfPlayActor:
                 ep_len = jnp.where(end, 0, new_len)
                 streak = jnp.where(end[:, None], 0, streak)
                 resign_rng, k = jax.random.split(resign_rng)
+                if key_xform is not None:
+                    k = key_xform(k)
                 redraw = jax.random.uniform(k, (B,)) >= config.resign_disable_frac
                 enabled = jnp.where(end, redraw, enabled)
                 monitor = jnp.where(end, would, -1).astype(jnp.int8)

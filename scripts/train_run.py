@@ -42,7 +42,8 @@ def main():
                         "budgets; e.g. 100)")
     p.add_argument("--scan-moves", type=int, default=0,
                    help=">0: device-side episode accumulation — this many "
-                        "moves per dispatch via lax.scan (single-chip)")
+                        "moves per dispatch via lax.scan (on multi-device "
+                        "meshes the whole scan runs inside one shard_map)")
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
     p.add_argument("--gumbel-considered", type=int, default=16)

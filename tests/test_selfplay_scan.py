@@ -81,6 +81,103 @@ def test_scan_path_seed_deterministic_multislot():
     )
 
 
+def _sharded_actor(scan_moves, batch=8, max_len=8):
+    from alphazeroforhnefatafl_tpu.core.env import KernelDispatch
+    from alphazeroforhnefatafl_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    env = make_env("brandubh")
+    mesh = make_mesh(axis_sizes=(8,), axis_names=("dp",))
+    sh = batch_sharding(mesh)
+    actor = SelfPlayActor(
+        env,
+        make_fake_evaluate(env),
+        MCTSConfig(num_simulations=4, max_children=8, max_depth=8),
+        SelfPlayConfig(
+            batch_size=batch, max_game_len=max_len, policy_k=8,
+            temp_threshold=4, scan_moves=scan_moves,
+        ),
+        sharding=sh,
+        dispatch=KernelDispatch(mesh, interpret=True),
+    )
+    return env, actor
+
+
+def test_sharded_scan_chunk_no_collectives_and_matches_per_move():
+    """The sharded scan chunk (whole move scan inside one shard_map) must
+    contain no cross-device collectives, and its emitted position stream
+    must be bit-identical to driving the per-move sharded path with the
+    same split discipline."""
+    import jax.numpy as jnp
+
+    T = 4
+    env, actor = _sharded_actor(T)
+    _, per_move = _sharded_actor(0)
+    B, L = 8, 8
+    states0 = actor._reset_batch()
+    rng = jax.random.PRNGKey(5)
+    carry = (
+        states0,
+        jnp.zeros((B,), jnp.int32),
+        rng,
+        jnp.zeros((B, 2), jnp.int32),
+        jnp.ones((B,), bool),
+        jnp.full((B,), -1, jnp.int8),
+        jax.random.PRNGKey(9),
+    )
+    hlo = actor._scan_chunk.lower(None, carry).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-reduce" not in hlo
+
+    _, ys = actor._scan_chunk(None, carry)
+    ys = {k: np.asarray(v) for k, v in ys.items()}
+
+    # Replicate with the per-move sharded path (same one-split-per-move
+    # chain; the shard-index fold happens inside both local programs).
+    states = per_move._reset_batch()
+    ep_len = np.zeros(B, np.int64)
+    for t in range(T):
+        temps = jnp.asarray((ep_len < 4).astype(np.float32))
+        b_board = np.asarray(states.board)
+        b_side = np.asarray(states.side_to_play)
+        rng, sub = jax.random.split(rng)
+        states, actions, info, top_a, top_p, root_v, _ = per_move._move(
+            None, states, temps, sub
+        )
+        done = np.asarray(states.terminated)
+        results = np.asarray(states.result)
+        ep_len += 1
+        truncate = (ep_len >= L) & ~done
+        end = done | truncate
+        assert np.array_equal(ys["board"][t], b_board), t
+        assert np.array_equal(ys["side"][t], b_side.astype(np.int8)), t
+        assert np.array_equal(ys["top_a"][t], np.asarray(top_a)), t
+        assert np.allclose(ys["top_p"][t], np.asarray(top_p)), t
+        assert np.allclose(ys["root_v"][t], np.asarray(root_v)), t
+        assert np.array_equal(ys["ended"][t], end), t
+        from alphazeroforhnefatafl_tpu.core.env import DRAW
+
+        exp_result = np.where(done, results, DRAW).astype(np.int32)
+        assert np.array_equal(ys["result"][t], exp_result), t
+        ep_len[end] = 0
+        reset_mask = jnp.asarray(end)
+        fresh = per_move._reset_batch()
+
+        def where_reset(f, c):
+            d = reset_mask.reshape(reset_mask.shape + (1,) * (c.ndim - 1))
+            return jnp.where(d, f, c)
+
+        states = jax.tree_util.tree_map(where_reset, fresh, states)
+
+
+def test_sharded_scan_play_full_games():
+    _, actor = _sharded_actor(4)
+    s1 = actor.play(None, None, jax.random.PRNGKey(1), num_games=8)
+    assert s1.games >= 8 and s1.positions > 0
+    _, actor2 = _sharded_actor(4)
+    s2 = actor2.play(None, None, jax.random.PRNGKey(1), num_games=8)
+    assert s1.as_dict() == s2.as_dict()
+
+
 def test_scan_path_with_resignation_runs_and_counts():
     eps, stats = _run(
         6, batch_size=4, num_games=6, resign=0.2, seed=3

@@ -117,11 +117,35 @@ class CheckpointManager:
             )
         else:
             # Params-only restore (e.g. the Elo ladder): skip the on-disk
-            # replay payload.
-            restored = self.mgr.restore(
-                step,
-                args=ocp.args.PyTreeRestore(item=template, partial_restore=True),
-            )
+            # replay payload. The manager's registered StandardCheckpointHandler
+            # rejects PyTreeRestore args, so read the step's item directory with
+            # a standalone PyTree checkpointer (Standard saves are PyTree
+            # format on disk) and partial-restore just the template's keys.
+            item_dir = os.path.join(self.directory, str(step), "default")
+            with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
+                restored = ckptr.restore(
+                    item_dir,
+                    args=ocp.args.PyTreeRestore(
+                        item=template, partial_restore=True
+                    ),
+                )
+            # partial_restore returns ON-DISK leaf shapes regardless of the
+            # template (and template-only leaves pass through unrestored), so
+            # an architecture mismatch would otherwise surface as a cryptic
+            # downstream shape error — or worse, silently ladder a half-
+            # initialized net. Validate the train_state leaves explicitly.
+            flat_want = jax.tree_util.tree_flatten_with_path(
+                template["train_state"]
+            )[0]
+            flat_got = jax.tree_util.tree_leaves(restored["train_state"])
+            for (path, want), got in zip(flat_want, flat_got):
+                if want.shape != got.shape:
+                    raise ValueError(
+                        f"checkpoint {self.directory}:{step} was saved with a "
+                        f"different architecture: leaf "
+                        f"{jax.tree_util.keystr(path)} is {got.shape} on "
+                        f"disk vs {want.shape} in the restore template"
+                    )
         if replay is not None:
             _restore_replay(replay, restored["replay"])
         rng = jax.numpy.asarray(restored["rng"])

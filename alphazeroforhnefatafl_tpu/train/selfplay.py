@@ -68,6 +68,15 @@ class SelfPlayConfig:
     #: ``shard_map`` — zero collectives, one global transfer per chunk
     #: (tested collective-free on the 8-device CPU mesh).
     scan_moves: int = 0
+    #: Gumbel draw-collapse mitigation: during the temperature phase
+    #: (move < temp_threshold) SAMPLE the move from the improved policy
+    #: softmax(logits + sigma(completed Q)) instead of playing the
+    #: deterministic sequential-halving winner (Danihelka et al. 2022 §5's
+    #: stochastic variant). Round-2 evidence: always-argmax gumbel self-play
+    #: on 11x11 collapsed to 86-93% draws because the deterministic winner
+    #: reinforces shuffling lines (docs/EXPERIMENTS.md). Off by default
+    #: (keeps the round-2 program byte-stable); no effect under PUCT.
+    gumbel_sample_temp_moves: bool = False
 
 
 @dataclass
@@ -166,8 +175,15 @@ class SelfPlayActor:
             result = self.mcts.search(params, states, legal, r_search, add_noise=True)
             if mcts_config.root_selection == "gumbel":
                 # Exploration comes from the sampled root Gumbels; play the
-                # sequential-halving winner (no temperature).
+                # sequential-halving winner (no temperature) — unless the
+                # temperature-phase sampling mitigation is on (see
+                # SelfPlayConfig.gumbel_sample_temp_moves).
                 actions = result.best_action
+                if config.gumbel_sample_temp_moves:
+                    sampled = select_actions(
+                        result.action_probs, legal, temps, r_sample
+                    )
+                    actions = jnp.where(temps > 0, sampled, actions)
             else:
                 actions = select_actions(result.action_probs, legal, temps, r_sample)
             new_states, info = env.step_many(states, actions, interpret=ki)
@@ -195,6 +211,11 @@ class SelfPlayActor:
                             temps, r_sample, rng):
                     if mcts_config.root_selection == "gumbel":
                         actions = best_action
+                        if config.gumbel_sample_temp_moves:
+                            sampled = select_actions(
+                                action_probs, legal, temps, r_sample
+                            )
+                            actions = jnp.where(temps > 0, sampled, actions)
                     else:
                         actions = select_actions(
                             action_probs, legal, temps, r_sample

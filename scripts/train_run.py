@@ -47,6 +47,10 @@ def main():
     p.add_argument("--children", type=int, default=32)
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
     p.add_argument("--gumbel-considered", type=int, default=16)
+    p.add_argument("--gumbel-sample-early", action="store_true",
+                   help="draw-collapse mitigation: sample the improved "
+                        "policy during the temperature phase instead of "
+                        "always playing the halving winner")
     p.add_argument("--alpha-scale", type=float, default=None,
                    help="dirichlet alpha = scale / num_legal (puct only)")
     p.add_argument("--train-steps", type=int, default=160)
@@ -115,6 +119,7 @@ def main():
             resign_threshold=args.resign,
             search_chunk=args.search_chunk,
             scan_moves=args.scan_moves,
+            gumbel_sample_temp_moves=args.gumbel_sample_early,
         ),
     )
     deadline = time.time() + args.hours * 3600 if args.hours else None

@@ -97,3 +97,40 @@ def test_loop_resume_across_gating_toggle(tmp_path):
     assert CheckpointManager(cfg.checkpoint_dir).saved_extra_keys() == (
         "incumbent_params",
     )
+
+
+def test_params_only_restore(tmp_path):
+    """Params-only restore (replay=None) — the Elo-ladder path in
+    eval_run.py/cross_ladder.py/cli ladder. Regression: the manager's
+    registered StandardCheckpointHandler rejects PyTreeRestore args, so the
+    params-only branch must read the step's item directory directly; before
+    the fix every ladder restore raised (and eval_run silently skipped all
+    steps)."""
+    import jax
+
+    from alphazeroforhnefatafl_tpu.models.network import make_network
+    from alphazeroforhnefatafl_tpu.train.checkpoint import CheckpointManager
+    from alphazeroforhnefatafl_tpu.train.learner import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    env = make_env("brandubh")
+    cfg = tiny_config(tmp_path, iterations=1)
+    state = run_loop(env, cfg)  # writes a checkpoint with a replay payload
+
+    net = make_network(env.n, channels=cfg.channels, blocks=cfg.blocks)
+    base = init_train_state(
+        net, jax.random.PRNGKey(0), env.num_observation_planes, make_optimizer()
+    )
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    step, restored, rng, extra = mgr.restore(base, None)
+    assert step == mgr.latest_iteration()
+    got = np.concatenate(
+        [np.ravel(x) for x in jax.tree_util.tree_leaves(restored.params)]
+    )
+    want = np.concatenate(
+        [np.ravel(np.asarray(x)) for x in jax.tree_util.tree_leaves(state.params)]
+    )
+    np.testing.assert_array_equal(got, want)
+    assert extra == {}

@@ -286,3 +286,61 @@ def test_selfplay_resignation():
     assert d["resign_fp_rate"] >= 0.0
     # Every resigned game was recorded as a decisive result, not a draw.
     assert stats.attacker_wins + stats.defender_wins >= stats.resigned
+
+
+def test_gumbel_sample_temp_moves():
+    """gumbel_sample_temp_moves (draw-collapse mitigation): during the
+    temperature phase moves are SAMPLED from the improved policy instead of
+    always playing the halving winner. Same seed => the mitigated actor's
+    replay diverges from the deterministic-winner actor's, games stay valid,
+    and the flag's default-off path is untouched (bit-identical repeat)."""
+    import jax
+
+    from alphazeroforhnefatafl_tpu.core.env import make_env
+    from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig
+    from alphazeroforhnefatafl_tpu.train.replay import ReplayBuffer
+    from alphazeroforhnefatafl_tpu.train.selfplay import (
+        SelfPlayActor,
+        SelfPlayConfig,
+    )
+
+    env = make_env("brandubh")
+
+    def evaluate(params, obs):
+        import jax.numpy as jnp
+
+        b = obs.shape[0]
+        return jnp.zeros((b, env.num_actions)), jnp.sum(
+            obs[..., 1], axis=(1, 2)
+        ) * 0.01
+
+    mcts_cfg = MCTSConfig(
+        num_simulations=8, max_children=8, max_depth=12,
+        root_selection="gumbel", gumbel_considered=4,
+    )
+
+    def run(sample_early):
+        cfg = SelfPlayConfig(
+            batch_size=4, temp_threshold=6, max_game_len=30, policy_k=8,
+            gumbel_sample_temp_moves=sample_early,
+        )
+        actor = SelfPlayActor(env, evaluate, mcts_cfg, cfg)
+        replay = ReplayBuffer(env, 1_024, cfg.policy_k)
+        stats = actor.play(None, replay, jax.random.PRNGKey(3), num_games=4)
+        return stats, replay
+
+    s_off, r_off = run(False)
+    s_off2, r_off2 = run(False)
+    s_on, r_on = run(True)
+    # Default-off path is deterministic and untouched by the new flag.
+    assert s_off.as_dict() == s_off2.as_dict()
+    np.testing.assert_array_equal(r_off.board[: r_off.size], r_off2.board[: r_off2.size])
+    # Mitigation changes the played lines (same seed, different actions).
+    assert s_on.games > 0 and s_on.positions > 0
+    diverged = (
+        r_on.size != r_off.size
+        or not np.array_equal(r_on.board[: r_on.size], r_off.board[: r_off.size])
+    )
+    assert diverged
+    # Value labels stay in range.
+    assert np.all(np.abs(r_on.value[: r_on.size]) <= 1.0)

@@ -134,3 +134,32 @@ def test_params_only_restore(tmp_path):
     )
     np.testing.assert_array_equal(got, want)
     assert extra == {}
+
+
+def test_params_only_restore_arch_mismatch(tmp_path):
+    """Restoring a checkpoint into a template of a DIFFERENT architecture
+    must raise a clear error, not silently return on-disk shapes (orbax
+    partial_restore ignores template shapes)."""
+    import dataclasses
+
+    import jax
+    import pytest
+
+    from alphazeroforhnefatafl_tpu.models.network import make_network
+    from alphazeroforhnefatafl_tpu.train.checkpoint import CheckpointManager
+    from alphazeroforhnefatafl_tpu.train.learner import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    env = make_env("brandubh")
+    cfg = tiny_config(tmp_path, iterations=1)
+    run_loop(env, cfg)  # channels=8 checkpoint
+
+    wrong = make_network(env.n, channels=16, blocks=cfg.blocks)
+    base = init_train_state(
+        wrong, jax.random.PRNGKey(0), env.num_observation_planes, make_optimizer()
+    )
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    with pytest.raises(ValueError, match="different architecture"):
+        mgr.restore(base, None)

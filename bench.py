@@ -133,7 +133,40 @@ def build_rollout(env, batch: int, chunk: int, use_kernel: bool = True):
     return jax.jit(rollout)
 
 
+def _wait_for_device(deadline_s: float) -> bool:
+    """Probe backend init in a SUBPROCESS (a hung in-process ``jax.devices()``
+    cannot be cancelled): the tunneled TPU backend has been observed to hang
+    indefinitely when the tunnel service is down, which would leave the
+    driver's bench capture with no output at all. Retries until ``deadline_s``;
+    returns False if the accelerator never came up."""
+    import subprocess
+    import sys
+
+    t0 = time.time()
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=max(30.0, min(120.0, deadline_s - (time.time() - t0))),
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() - t0 > deadline_s:
+            return False
+        time.sleep(15)
+
+
 def main():
+    note = None
+    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+        wait_s = float(os.environ.get("TAFL_BENCH_DEVICE_WAIT_S", "900"))
+        if not _wait_for_device(wait_s):
+            # Degrade to CPU honestly rather than hang the capture forever.
+            jax.config.update("jax_platforms", "cpu")
+            note = f"accelerator unreachable after {wait_s:.0f}s; CPU fallback"
     backend = jax.default_backend()
     on_accel = backend != "cpu"
     batch = 4096 if on_accel else 256
@@ -166,6 +199,9 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / TARGET_STEPS_PER_S, 3),
     }
+    if note:
+        rec["backend"] = backend
+        rec["note"] = note
     if os.environ.get("TAFL_BENCH_MCTS", "1") != "0":
         rec.update(bench_mcts_sims(on_accel))
     print(json.dumps(rec))

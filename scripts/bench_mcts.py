@@ -19,9 +19,9 @@ from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
 
 
 def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6,
-          chunk=0, node_read="auto", unroll=4):
+          chunk=0, node_read="auto", unroll=4, norm="group"):
     env = make_env("copenhagen")
-    net = make_network(env.n, channels=channels, blocks=blocks)
+    net = make_network(env.n, channels=channels, blocks=blocks, norm=norm)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
     evaluate = lambda p, obs: net.apply(p, obs)
     cfg = MCTSConfig(
@@ -72,7 +72,8 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
             {
                 "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}"
                 + (f"_c{chunk}" if chunk else "")
-                + f"_{node_read}_u{unroll}",
+                + f"_{node_read}_u{unroll}"
+                + ("_nf" if norm == "none" else ""),
                 "value": round(sims_per_s, 1),
                 "unit": "sims/s",
                 "compile_s": round(compile_s, 1),
@@ -95,6 +96,8 @@ if __name__ == "__main__":
     p.add_argument("--node-read", default="auto", choices=["auto", "gather", "dot"])
     p.add_argument("--unroll", type=int, default=4,
                    help="traversal levels per while-loop iteration")
+    p.add_argument("--norm", default="group", choices=["group", "none"],
+                   help="'none' = norm-free NFResBlock trunk")
     a = p.parse_args()
     bench(a.batch, a.sims, a.children, a.iters, chunk=a.chunk,
-          node_read=a.node_read, unroll=a.unroll)
+          node_read=a.node_read, unroll=a.unroll, norm=a.norm)

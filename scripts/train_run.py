@@ -17,6 +17,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Must precede the jax import: the preinstalled plugin pins JAX_PLATFORMS=axon
+# and hangs (rather than erroring) when the tunnel is down.
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 from alphazeroforhnefatafl_tpu.core.env import make_env
 from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig
 from alphazeroforhnefatafl_tpu.train.loop import LoopConfig, run_loop
@@ -74,6 +79,7 @@ def main():
     p.add_argument("--checkpoint-every", type=int, default=2)
     p.add_argument("--checkpoint-keep", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     args = p.parse_args()
 
     run_dir = os.path.join("runs", args.name)

@@ -28,7 +28,8 @@ class _Recorder:
         )
 
 
-def _run(scan_moves, *, batch_size=1, seed=7, num_games=3, resign=None):
+def _run(scan_moves, *, batch_size=1, seed=7, num_games=3, resign=None,
+         gumbel=False, sample_early=False):
     env = make_env("brandubh")
     cfg = SelfPlayConfig(
         batch_size=batch_size,
@@ -37,11 +38,21 @@ def _run(scan_moves, *, batch_size=1, seed=7, num_games=3, resign=None):
         policy_k=8,
         scan_moves=scan_moves,
         resign_threshold=resign,
+        gumbel_sample_temp_moves=sample_early,
     )
     actor = SelfPlayActor(
         env,
         make_fake_evaluate(env),
-        MCTSConfig(num_simulations=8, max_children=16, max_depth=16),
+        MCTSConfig(
+            num_simulations=8,
+            max_children=16,
+            max_depth=16,
+            **(
+                {"root_selection": "gumbel", "gumbel_considered": 4}
+                if gumbel
+                else {}
+            ),
+        ),
         cfg,
     )
     rec = _Recorder()
@@ -190,3 +201,24 @@ def test_scan_path_with_resignation_runs_and_counts():
     )
     assert stats.truncated <= stats.draws
     assert 0.0 <= d["resign_fp_rate"] <= 1.0
+
+
+def test_scan_path_gumbel_matches_host_loop_bitwise():
+    """Gumbel root selection (with and without the temperature-phase
+    sampling mitigation) through the device-side scan must replicate the
+    per-move host loop bit-for-bit — the production gumbel arm runs with
+    scan_moves > 0."""
+    for sample_early in (False, True):
+        host_eps, _ = _run(0, gumbel=True, sample_early=sample_early)
+        scan_eps, _ = _run(6, gumbel=True, sample_early=sample_early)
+        n = min(len(host_eps), len(scan_eps))
+        assert n >= 3
+        for i in range(n):
+            for h, s, name in zip(
+                host_eps[i],
+                scan_eps[i],
+                ("board", "side", "reps", "pidx", "pp", "z"),
+            ):
+                assert np.array_equal(h, s), (
+                    f"sample_early={sample_early} episode {i} field {name}"
+                )

@@ -19,12 +19,16 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Must precede the jax import: the preinstalled plugin pins JAX_PLATFORMS=axon
-# and module-level imports may trigger backend init before main() runs.
+# Must precede any computation: the preinstalled plugin overrides the
+# JAX_PLATFORMS env var, and module-level imports may trigger backend init
+# before main() runs — force CPU via jax.config.update immediately.
 if "--cpu" in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from alphazeroforhnefatafl_tpu.core.env import make_env
 from alphazeroforhnefatafl_tpu.models.network import make_network

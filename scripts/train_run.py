@@ -17,10 +17,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Must precede the jax import: the preinstalled plugin pins JAX_PLATFORMS=axon
-# and hangs (rather than erroring) when the tunnel is down.
+# Must precede any computation: the preinstalled plugin overrides the
+# JAX_PLATFORMS env var (tests/conftest.py records this), and the axon
+# backend HANGS (rather than erroring) when the tunnel is down — forcing
+# CPU requires jax.config.update before the first backend init.
 if "--cpu" in sys.argv:
     os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 from alphazeroforhnefatafl_tpu.core.env import make_env
 from alphazeroforhnefatafl_tpu.search.mcts import MCTSConfig

@@ -15,7 +15,15 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Must precede any computation: the preinstalled plugin overrides the
+# JAX_PLATFORMS env var, and the axon backend hangs when the tunnel is down.
+if "--cpu" in sys.argv:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax
+
+if "--cpu" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
 
 from alphazeroforhnefatafl_tpu.core.env import make_env
 from alphazeroforhnefatafl_tpu.models.network import make_network
@@ -39,6 +47,7 @@ def main():
                    help="ladder size: evenly-spaced steps across the run")
     p.add_argument("--max-game-len", type=int, default=256)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true", help="force the CPU backend")
     p.add_argument(
         "--anchors",
         default="",

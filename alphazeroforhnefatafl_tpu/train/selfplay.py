@@ -47,6 +47,12 @@ class SelfPlayConfig:
     resign_threshold: "float | None" = None
     resign_consecutive: int = 2
     resign_disable_frac: float = 0.1
+    #: No resignation before this many moves have been played. Guards the
+    #: feedback collapse observed in runs/brandubh_r3_gated: once the net
+    #: is confident the attacker loses, games resign by move ~3 (resign
+    #: fraction 99%, avg length 3.1 vs 13 at run start) and self-play stops
+    #: producing mid-game positions. 0 keeps the prior behavior byte-stable.
+    resign_min_moves: int = 0
     #: >0: run each move's search via ``MCTS.search_in_chunks`` with this
     #: wave-chunk size instead of one monolithic jitted move. Required for
     #: large simulation budgets (e.g. 800 sims/move): the remote compile
@@ -401,7 +407,9 @@ class SelfPlayActor:
                     streak = streak.at[rows, b_side].set(
                         jnp.where(low, cur + 1, 0)
                     )
-                    trig = streak[rows, b_side] >= config.resign_consecutive
+                    trig = (
+                        streak[rows, b_side] >= config.resign_consecutive
+                    ) & (new_len >= config.resign_min_moves)
                     resign_now = trig & enabled & ~done & ~truncate
                     first = trig & ~enabled & (would < 0)
                     would = jnp.where(first, b_side.astype(jnp.int8), would)
@@ -639,7 +647,9 @@ class SelfPlayActor:
                 mover = b_side.astype(np.int64)
                 cur = resign_streak[rows, mover]
                 resign_streak[rows, mover] = np.where(low, cur + 1, 0)
-                trig = resign_streak[rows, mover] >= cfg.resign_consecutive
+                trig = (resign_streak[rows, mover] >= cfg.resign_consecutive) & (
+                    ep_len >= cfg.resign_min_moves
+                )
                 resign_now = trig & resign_enabled & ~done & ~truncate
                 first = trig & ~resign_enabled & (would_resign_side < 0)
                 would_resign_side[first] = b_side[first]

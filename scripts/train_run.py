@@ -46,6 +46,9 @@ def main():
     p.add_argument("--temp-threshold", type=int, default=12)
     p.add_argument("--resign", type=float, default=None,
                    help="resign threshold (e.g. 0.95); None disables")
+    p.add_argument("--resign-min-moves", type=int, default=0,
+                   help="no resignation before this many moves (guards the "
+                        "instant-resign feedback collapse)")
     p.add_argument("--sims", type=int, default=128)
     p.add_argument("--search-chunk", type=int, default=0,
                    help=">0: chunk-compiled search (required for 800-sim "
@@ -128,6 +131,7 @@ def main():
             temp_threshold=args.temp_threshold,
             max_game_len=args.max_game_len,
             resign_threshold=args.resign,
+            resign_min_moves=args.resign_min_moves,
             search_chunk=args.search_chunk,
             scan_moves=args.scan_moves,
             gumbel_sample_temp_moves=args.gumbel_sample_early,

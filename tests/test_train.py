@@ -287,6 +287,34 @@ def test_selfplay_resignation():
     # Every resigned game was recorded as a decisive result, not a draw.
     assert stats.attacker_wins + stats.defender_wins >= stats.resigned
 
+    # resign_min_moves guard (the brandubh_r3_gated instant-resign collapse
+    # fix): with the same always-lost values but a floor of 10 moves, no
+    # game may end before move 10 except by real termination — so every
+    # RESIGNED game is at least 10 moves long. Both host and scan paths.
+    for scan in (0, 4):
+        cfg2 = SelfPlayConfig(
+            batch_size=4,
+            temp_threshold=2,
+            max_game_len=20,
+            policy_k=8,
+            resign_threshold=0.9,
+            resign_consecutive=2,
+            resign_disable_frac=0.0,
+            resign_min_moves=10,
+            scan_moves=scan,
+        )
+        actor2 = SelfPlayActor(
+            env,
+            evaluate,
+            MCTSConfig(num_simulations=4, max_children=8, max_depth=8),
+            cfg2,
+        )
+        stats2 = actor2.play(None, None, jax.random.PRNGKey(0), num_games=6)
+        assert stats2.resigned > 0, (scan, stats2.as_dict())
+        # All games resign exactly at the floor (values are always-lost, so
+        # the streak is saturated by move 10): min length == 10.
+        assert stats2.length_sum >= 10 * stats2.games, (scan, stats2.as_dict())
+
 
 def test_gumbel_sample_temp_moves():
     """gumbel_sample_temp_moves (draw-collapse mitigation): during the

@@ -99,6 +99,27 @@ def test_loop_resume_across_gating_toggle(tmp_path):
     )
 
 
+def test_arena_every_zero_disables_arena(tmp_path):
+    """``arena_every=0`` means "never run the arena" — and therefore ungated
+    self-play. Regression: it used to hit ``% 0`` (ZeroDivisionError) the
+    first iteration the replay crossed ``min_replay_size``."""
+    import dataclasses
+
+    env = make_env("brandubh")
+    cfg = dataclasses.replace(
+        tiny_config(tmp_path, iterations=2),
+        arena_games=6,
+        arena_every=0,
+        min_replay_size=16,
+        checkpoint_dir=None,
+    )
+    log = MetricsLogger(jsonl_path=str(tmp_path / "ma.jsonl"))
+    state = run_loop(env, cfg, log=log)
+    assert int(state.step) > 0
+    lines = [json.loads(l) for l in open(tmp_path / "ma.jsonl")]
+    assert not any("arena/games" in l for l in lines)
+
+
 def test_params_only_restore(tmp_path):
     """Params-only restore (replay=None) — the Elo-ladder path in
     eval_run.py/cross_ladder.py/cli ladder. Regression: the manager's

@@ -147,7 +147,9 @@ def cmd_selfplay(args):
     from .train.selfplay import SelfPlayActor, SelfPlayConfig
 
     env = make_env(args.preset)
-    net = make_network(env.n, channels=args.channels, blocks=args.blocks)
+    net = make_network(
+        env.n, channels=args.channels, blocks=args.blocks, norm=args.norm
+    )
     params = init_params(net, jax.random.PRNGKey(args.seed), env.num_observation_planes)
     sp_cfg = SelfPlayConfig(batch_size=args.batch)
     actor = SelfPlayActor(
@@ -187,6 +189,7 @@ def cmd_train(args):
         min_replay_size=args.min_replay,
         channels=args.channels,
         blocks=args.blocks,
+        norm=args.norm,
         arena_games=args.arena_games,
         checkpoint_dir=args.checkpoint_dir,
         seed=args.seed,
@@ -222,7 +225,9 @@ def cmd_ladder(args):
     from .train.learner import init_train_state, make_optimizer
 
     env = make_env(args.preset)
-    net = make_network(env.n, channels=args.channels, blocks=args.blocks)
+    net = make_network(
+        env.n, channels=args.channels, blocks=args.blocks, norm=args.norm
+    )
     opt = make_optimizer()
     base = init_train_state(
         net, jax.random.PRNGKey(0), env.num_observation_planes, opt
@@ -261,6 +266,7 @@ def main(argv=None):
     p.add_argument("--sims", type=int, default=32)
     p.add_argument("--channels", type=int, default=32)
     p.add_argument("--blocks", type=int, default=3)
+    p.add_argument("--norm", default="group", choices=["group", "none"])
     p.set_defaults(fn=cmd_selfplay)
 
     p = sub.add_parser("train", help="run the AlphaZero loop")
@@ -274,6 +280,7 @@ def main(argv=None):
     p.add_argument("--selfplay-batch", type=int, default=8)
     p.add_argument("--channels", type=int, default=32)
     p.add_argument("--blocks", type=int, default=3)
+    p.add_argument("--norm", default="group", choices=["group", "none"])
     p.add_argument("--arena-games", type=int, default=0)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--gumbel", action="store_true",
@@ -293,6 +300,7 @@ def main(argv=None):
     p.add_argument("--sims", type=int, default=64)
     p.add_argument("--channels", type=int, default=64)
     p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--norm", default="group", choices=["group", "none"])
     p.set_defaults(fn=cmd_ladder)
 
     args = parser.parse_args(argv)

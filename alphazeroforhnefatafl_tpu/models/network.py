@@ -102,7 +102,10 @@ class PolicyValueNet(nn.Module):
         # Policy head: one output plane per (direction, distance) pair, in the
         # action-encoding order dir-major then distance.
         move_planes = 4 * (n - 1)
-        p = nn.Conv(self.channels, (3, 3), use_bias=not norm_free, dtype=self.dtype)(x)
+        # Bias only on the norm-free path: GroupNorm would cancel it (and the
+        # group tree must stay byte-compatible with pre-round-3 checkpoints);
+        # without a norm the conv bias is the head's only offset term.
+        p = nn.Conv(self.channels, (3, 3), use_bias=norm_free, dtype=self.dtype)(x)
         if not norm_free:
             p = nn.GroupNorm(num_groups=min(32, self.channels), dtype=self.dtype)(p)
         p = nn.relu(p)

@@ -184,12 +184,38 @@ def _sh_considered_schedule(sims: int, m0: int) -> list:
     return out[:sims]
 
 
+#: The single source of truth for the packed node-state row layout: the
+#: scalar fields following the n*n board cells, as (EnvState field, width,
+#: unpack dtype) in row order. ``_pack_width`` / ``_pack_state`` /
+#: ``_unpack_state`` and the observe-field offsets are ALL derived from this
+#: table, so reordering or adding a field is a one-line change.
+_SCALAR_LAYOUT = (
+    ("side_to_play", 1, jnp.int32),
+    ("recent_plays", 4, jnp.int32),
+    ("rep_first_i", 1, jnp.int32),
+    ("reps", 2, jnp.int32),
+    ("mid_pair", 2, jnp.bool_),
+    ("plays_since_capture", 1, jnp.int32),
+    ("turn", 1, jnp.int32),
+    ("terminated", 1, jnp.bool_),
+    ("result", 1, jnp.int32),
+    ("reason", 1, jnp.int32),
+)
+
+
+def _scalar_offsets(n: int):
+    """Map field name -> (row offset, width, dtype) for an n x n board."""
+    off, out = n * n, {}
+    for name, w, dt in _SCALAR_LAYOUT:
+        out[name] = (off, w, dt)
+        off += w
+    return out
+
+
 def _pack_width(n: int) -> int:
     """Row width of the packed node-state buffer for an ``n`` x ``n`` board:
-    board cells + 15 scalar slots (side, 4-slot play ring, ring index, 2 rep
-    counters, 2 mid-pair flags, plays_since_capture, turn, terminated,
-    result, reason)."""
-    return n * n + 15
+    board cells + the :data:`_SCALAR_LAYOUT` slots."""
+    return n * n + sum(w for _, w, _ in _SCALAR_LAYOUT)
 
 
 def _pack_state(state: EnvState) -> jax.Array:
@@ -200,39 +226,23 @@ def _pack_state(state: EnvState) -> jax.Array:
     inside f32's 2^24 integer range.
     """
     f = jnp.float32
-    return jnp.concatenate(
-        [
-            state.board.reshape(-1).astype(f),
-            state.side_to_play.reshape(1).astype(f),
-            state.recent_plays.astype(f),
-            state.rep_first_i.reshape(1).astype(f),
-            state.reps.astype(f),
-            state.mid_pair.astype(f),
-            state.plays_since_capture.reshape(1).astype(f),
-            state.turn.reshape(1).astype(f),
-            state.terminated.reshape(1).astype(f),
-            state.result.reshape(1).astype(f),
-            state.reason.reshape(1).astype(f),
-        ]
-    )
+    parts = [state.board.reshape(-1).astype(f)]
+    for name, w, _ in _SCALAR_LAYOUT:
+        parts.append(jnp.asarray(getattr(state, name)).reshape(w).astype(f))
+    return jnp.concatenate(parts)
 
 
 def _unpack_state(row: jax.Array, n: int) -> EnvState:
     """Inverse of :func:`_pack_state` for one f32[P] row."""
-    nn = n * n
-    i = jnp.int32
+    offs = _scalar_offsets(n)
+
+    def take(name):
+        o, w, dt = offs[name]
+        return (row[o : o + w] if w > 1 else row[o]).astype(dt)
+
     return EnvState(
-        board=row[:nn].reshape(n, n).astype(jnp.int8),
-        side_to_play=row[nn].astype(i),
-        recent_plays=row[nn + 1 : nn + 5].astype(i),
-        rep_first_i=row[nn + 5].astype(i),
-        reps=row[nn + 6 : nn + 8].astype(i),
-        mid_pair=row[nn + 8 : nn + 10].astype(bool),
-        plays_since_capture=row[nn + 10].astype(i),
-        turn=row[nn + 11].astype(i),
-        terminated=row[nn + 12].astype(bool),
-        result=row[nn + 13].astype(i),
-        reason=row[nn + 14].astype(i),
+        board=row[: n * n].reshape(n, n).astype(jnp.int8),
+        **{name: take(name) for name, _, _ in _SCALAR_LAYOUT},
     )
 
 
@@ -439,12 +449,14 @@ class MCTS:
         """Per-game (board, side_to_play, reps) of a node — the only
         EnvState fields ``TaflEnv.observe`` reads — from one packed row."""
         n = self.env.n
-        nn = n * n
+        offs = _scalar_offsets(n)
+        side_o, _, _ = offs["side_to_play"]
+        reps_o, reps_w, _ = offs["reps"]
         row = self._node_row(tree, node)
         return (
-            row[:nn].reshape(n, n).astype(jnp.int8),
-            row[nn].astype(jnp.int32),
-            row[nn + 6 : nn + 8].astype(jnp.int32),
+            row[: n * n].reshape(n, n).astype(jnp.int8),
+            row[side_o].astype(jnp.int32),
+            row[reps_o : reps_o + reps_w].astype(jnp.int32),
         )
 
     def _gather_parent(self, tree: Tree, t):

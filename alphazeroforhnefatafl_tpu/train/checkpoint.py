@@ -46,6 +46,28 @@ def _restore_replay(replay: ReplayBuffer, st: Dict[str, Any]) -> None:
     replay.total_added = int(st["total_added"])
 
 
+def _leaf_path_shapes(tree) -> Dict[str, Any]:
+    """Map normalized leaf path -> shape. Normalizing the key types (attr /
+    dict / sequence) lets a live pytree (TrainState dataclass, optax tuples)
+    be compared against orbax's on-disk metadata tree (nested dicts/lists),
+    whose flattened paths spell the same structure with different key
+    classes."""
+    out: Dict[str, Any] = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        parts = []
+        for k in path:
+            if hasattr(k, "name"):
+                parts.append(str(k.name))
+            elif hasattr(k, "key"):
+                parts.append(str(k.key))
+            elif hasattr(k, "idx"):
+                parts.append(str(k.idx))
+            else:  # pragma: no cover - future key types
+                parts.append(str(k))
+        out["/".join(parts)] = tuple(getattr(leaf, "shape", ()) or ())
+    return out
+
+
 class CheckpointManager:
     """Iteration-boundary checkpointing with retention."""
 
@@ -121,6 +143,42 @@ class CheckpointManager:
             # rejects PyTreeRestore args, so read the step's item directory with
             # a standalone PyTree checkpointer (Standard saves are PyTree
             # format on disk) and partial-restore just the template's keys.
+            # partial_restore silently passes template-only leaves through
+            # unrestored and returns on-disk shapes for the rest, so an
+            # architecture mismatch (different --blocks / --norm / --channels)
+            # would otherwise ladder a partially- or fully-fresh-init net.
+            # Validate STRUCTURE AND SHAPES against the on-disk metadata
+            # before restoring anything.
+            meta = self.mgr.item_metadata(step).tree.get("train_state")
+            if meta is not None:
+                want = _leaf_path_shapes(template["train_state"])
+                got = _leaf_path_shapes(meta)
+                missing = sorted(set(want) - set(got))
+                extra = sorted(set(got) - set(want))
+                shape_diff = sorted(
+                    p for p in set(want) & set(got) if want[p] != got[p]
+                )
+                if missing or extra or shape_diff:
+                    detail = "; ".join(
+                        filter(
+                            None,
+                            [
+                                missing
+                                and f"template-only leaves {missing[:4]}",
+                                extra and f"on-disk-only leaves {extra[:4]}",
+                                shape_diff
+                                and (
+                                    f"shape mismatches "
+                                    f"{[(p, want[p], got[p]) for p in shape_diff[:4]]}"
+                                ),
+                            ],
+                        )
+                    )
+                    raise ValueError(
+                        f"checkpoint {self.directory}:{step} was saved with a "
+                        f"different architecture than the restore template "
+                        f"(check --channels/--blocks/--norm): {detail}"
+                    )
             item_dir = os.path.join(self.directory, str(step), "default")
             with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as ckptr:
                 restored = ckptr.restore(
@@ -129,23 +187,6 @@ class CheckpointManager:
                         item=template, partial_restore=True
                     ),
                 )
-            # partial_restore returns ON-DISK leaf shapes regardless of the
-            # template (and template-only leaves pass through unrestored), so
-            # an architecture mismatch would otherwise surface as a cryptic
-            # downstream shape error — or worse, silently ladder a half-
-            # initialized net. Validate the train_state leaves explicitly.
-            flat_want = jax.tree_util.tree_flatten_with_path(
-                template["train_state"]
-            )[0]
-            flat_got = jax.tree_util.tree_leaves(restored["train_state"])
-            for (path, want), got in zip(flat_want, flat_got):
-                if want.shape != got.shape:
-                    raise ValueError(
-                        f"checkpoint {self.directory}:{step} was saved with a "
-                        f"different architecture: leaf "
-                        f"{jax.tree_util.keystr(path)} is {got.shape} on "
-                        f"disk vs {want.shape} in the restore template"
-                    )
         if replay is not None:
             _restore_replay(replay, restored["replay"])
         rng = jax.numpy.asarray(restored["rng"])

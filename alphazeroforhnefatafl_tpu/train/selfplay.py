@@ -327,7 +327,8 @@ class SelfPlayActor:
                 mesh_size = dispatch.mesh.size
                 if config.batch_size % mesh_size:
                     raise ValueError(
-                        "scan_moves: batch_size must divide the mesh size"
+                        f"scan_moves: batch_size ({config.batch_size}) must "
+                        f"be a multiple of the mesh size ({mesh_size})"
                     )
                 axis = dispatch.axis
                 local_chunk = self._build_scan_chunk(

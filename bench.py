@@ -161,7 +161,12 @@ def _wait_for_device(deadline_s: float) -> bool:
 
 def main():
     note = None
-    if os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        # The preinstalled axon plugin overrides the env var; make the CPU
+        # request effective in-process or default_backend() below would
+        # still initialize (and hang on) the tunneled backend.
+        jax.config.update("jax_platforms", "cpu")
+    else:
         wait_s = float(os.environ.get("TAFL_BENCH_DEVICE_WAIT_S", "900"))
         if not _wait_for_device(wait_s):
             # Degrade to CPU honestly rather than hang the capture forever.

@@ -68,8 +68,13 @@ def main():
     )
     named = [] if a.no_init else [("init", base.params)]
     for spec in a.entry:
-        name, _, loc = spec.partition("=")
-        ckpt_dir, _, step = loc.rpartition(":")
+        name, eq, loc = spec.partition("=")
+        ckpt_dir, colon, step = loc.rpartition(":")
+        if not (eq and colon and name and ckpt_dir and step):
+            p.error(
+                f"--entry {spec!r}: expected name=ckpt_dir:step "
+                "(step = integer or 'latest')"
+            )
         mgr = CheckpointManager(ckpt_dir)
         it = mgr.latest_iteration() if step == "latest" else int(step)
         _, ts, _, _ = mgr.restore(base, None, iteration=it)

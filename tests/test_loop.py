@@ -184,3 +184,17 @@ def test_params_only_restore_arch_mismatch(tmp_path):
     mgr = CheckpointManager(cfg.checkpoint_dir)
     with pytest.raises(ValueError, match="different architecture"):
         mgr.restore(base, None)
+
+    # STRUCTURAL mismatches (same-shape leaves, different tree): a deeper
+    # trunk and a norm-free trunk. Before the metadata check these silently
+    # passed partial_restore through as fresh-init leaves (same shapes),
+    # laddering a frankennet / a 100% fresh init.
+    for net2 in (
+        make_network(env.n, channels=cfg.channels, blocks=cfg.blocks + 1),
+        make_network(env.n, channels=cfg.channels, blocks=cfg.blocks, norm="none"),
+    ):
+        base2 = init_train_state(
+            net2, jax.random.PRNGKey(0), env.num_observation_planes, make_optimizer()
+        )
+        with pytest.raises(ValueError, match="different architecture"):
+            mgr.restore(base2, None)

@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from typing import Tuple
 
-import numpy as np
-
 # direction -> (d_row, d_col)
 DIR_OFFSETS = ((-1, 0), (1, 0), (0, -1), (0, 1))
 UP, DOWN, LEFT, RIGHT = 0, 1, 2, 3
@@ -48,11 +46,12 @@ def decode(n: int, action):
 
 
 def to_tile(from_row, from_col, direction, distance):
-    """Destination tile of a move (``game/play.rs:59-67``). May be out of bounds."""
-    is_vert = direction <= 1
-    sign = np.where(np.asarray(direction) % 2 == 0, -1, 1)
-    to_row = from_row + np.where(is_vert, sign * distance, 0)
-    to_col = from_col + np.where(is_vert, 0, sign * distance)
+    """Destination tile of a move (``game/play.rs:59-67``). May be out of
+    bounds. Pure arithmetic (no np/jnp dispatch) so it genuinely works on
+    plain ints, numpy arrays and traced jnp arrays alike."""
+    sign = direction % 2 * 2 - 1  # up/left -> -1, down/right -> +1
+    to_row = from_row + sign * distance * (direction <= 1)
+    to_col = from_col + sign * distance * (direction >= 2)
     return to_row, to_col
 
 

@@ -109,7 +109,16 @@ def auto_dispatch(sharding) -> "KernelDispatch | None":
     mesh = sharding.mesh
     if mesh.size <= 1:
         return None
+    # spec[0] can be None (replicated batch axis, e.g. P(None)) — then there
+    # is nothing to shard the games over and a shard_map with a None axis
+    # would make every device redundantly step the whole batch.
     axis = sharding.spec[0] if sharding.spec else "dp"
+    if axis is None:
+        return None
+    if isinstance(axis, tuple):  # P(("dp", "x"), ...) — not a layout we emit
+        axis = axis[0]
+    if axis not in mesh.axis_names:
+        return None
     return KernelDispatch(mesh=mesh, axis=axis)
 
 
@@ -216,6 +225,7 @@ class TaflEnv:
 
     def __init__(self, rules: Ruleset, start_board_fen: str):
         self.rules = rules
+        self._start_fen = start_board_fen
         start = board_from_fen(start_board_fen)
         self.n = int(start.shape[0])
         n = self.n
@@ -252,6 +262,21 @@ class TaflEnv:
                 for cfg in self.cls_cfg
             ]
         )  # bool[3, N, N]: coords_occupiable ignoring occupancy (logic.rs:250-266)
+
+    # Value identity: two envs with the same ruleset and starting FEN are
+    # the same compiled program. This keys every lru_cache on the env
+    # (ops/step_kernel._make_step_fn, arena move-fn cache) by VALUE, so
+    # repeated make_env(preset) calls in one process reuse traced/compiled
+    # functions instead of re-tracing per instance.
+    def __eq__(self, other):
+        return (
+            type(other) is TaflEnv
+            and self.rules == other.rules
+            and self._start_fen == other._start_fen
+        )
+
+    def __hash__(self):
+        return hash((self.rules, self._start_fen))
 
     # ------------------------------------------------------------------
     # Construction / reset
@@ -360,14 +385,7 @@ class TaflEnv:
         so this executes per-shard; :meth:`legal_mask_sharded` is the
         standalone sharded variant.
         """
-        if interpret:
-            from ..ops.legal_mask import batched_legal_mask
-
-            m = batched_legal_mask(
-                self, states.board, states.side_to_play, interpret=True
-            )
-            return m & ~states.terminated[:, None]
-        if jax.devices()[0].platform == "tpu":
+        if interpret or jax.devices()[0].platform == "tpu":
             from ..ops.legal_mask import batched_legal_mask
 
             m = batched_legal_mask(
@@ -1197,12 +1215,10 @@ class TaflEnv:
         whole move function inside ``shard_map`` (see :class:`KernelDispatch`)
         so this executes per-shard.
         """
-        if interpret:
+        if interpret or jax.devices()[0].platform == "tpu":
             return self.step_batch(
-                states, actions, validate=validate, interpret=True
+                states, actions, validate=validate, interpret=interpret
             )
-        if jax.devices()[0].platform == "tpu":
-            return self.step_batch(states, actions, validate=validate)
         return jax.vmap(lambda s, a: self.step(s, a, validate=validate))(
             states, actions
         )

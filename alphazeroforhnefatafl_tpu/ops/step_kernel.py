@@ -72,10 +72,13 @@ def _static_tables(env) -> Tuple[np.ndarray, dict]:
         cols_list.append(np.asarray(arr, dtype=bool).reshape(nn))
 
     # Shift validity per (dir, dist): cell + off stays on board, no row wrap.
-    for d, (dr, dc) in enumerate(DRDC):
+    # One source of truth with the legal-mask kernel (same DRDC order there).
+    from .legal_mask import _shift_masks
+
+    valid = _shift_masks(n)  # [4, n-1, nn]
+    for d in range(4):
         for k in range(1, n):
-            r2, c2 = rows + dr * k, cols + dc * k
-            add(f"valid_{d}_{k}", (r2 >= 0) & (r2 < n) & (c2 >= 0) & (c2 < n))
+            add(f"valid_{d}_{k}", valid[d, k - 1])
 
     # Move-class tables (deduplicated like TaflEnv.legal_mask_for_side).
     move_cfg_idx = {}

@@ -55,12 +55,17 @@ def initialize_distributed(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    # NOT `process_id or env`: 0 is a legitimate explicit id and must not
+    # fall through to a stale JAX_PROCESS_ID in the environment.
+    if process_id is None:
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
     if coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
-            num_processes=num_processes
-            or int(os.environ.get("JAX_NUM_PROCESSES", "1")),
-            process_id=process_id or int(os.environ.get("JAX_PROCESS_ID", "0")),
+            num_processes=num_processes,
+            process_id=process_id,
         )
     return HostTopology(
         process_id=jax.process_index(),
@@ -72,6 +77,14 @@ def initialize_distributed(
 
 def local_batch_slice(global_batch: int) -> slice:
     """The slice of a global batch owned by this host (equal split)."""
-    per = global_batch // jax.process_count()
+    count = jax.process_count()
+    if global_batch % count:
+        # A silent floor-split would orphan the remainder games: no host
+        # owns them, but global assembly still expects global_batch rows.
+        raise ValueError(
+            f"global batch {global_batch} must be divisible by the "
+            f"process count {count}"
+        )
+    per = global_batch // count
     start = jax.process_index() * per
     return slice(start, start + per)

@@ -105,3 +105,44 @@ def test_initialize_distributed_single_process():
     assert topo.num_processes == 1
     assert topo.global_devices == 8
     assert local_batch_slice(64) == slice(0, 64)
+    # Any batch divides one process; the non-divisible ValueError path is
+    # covered in tests/test_multiprocess.py's two-process group.
+
+
+def test_env_value_identity():
+    """Two make_env(preset) instances are EQUAL and hash alike, so every
+    lru_cache keyed on the env (fused step kernel fn, arena move-fn cache)
+    hits across instances instead of re-tracing per construction."""
+    from alphazeroforhnefatafl_tpu.core.env import TaflEnv, make_env
+    from alphazeroforhnefatafl_tpu.core.rules import PRESETS
+    from alphazeroforhnefatafl_tpu.ops.step_kernel import _make_step_fn
+
+    rules, board = PRESETS["brandubh"]
+    a, b = TaflEnv(rules, board), TaflEnv(rules, board)
+    assert a is not b and a == b and hash(a) == hash(b)
+    assert a == make_env("brandubh") and a != make_env("copenhagen")
+    before = _make_step_fn.cache_info().currsize
+    _make_step_fn(a, True)
+    _make_step_fn(b, True)
+    info = _make_step_fn.cache_info()
+    assert info.currsize <= before + 1 and info.hits >= 1
+
+
+def test_to_tile_traceable_and_consistent():
+    """core.actions.to_tile works on plain ints AND under jit (regression:
+    it used np.where, which raises on tracers), and agrees with
+    decode_to_tiles for every action id."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphazeroforhnefatafl_tpu.core import actions
+
+    n = 7
+    ids = list(range(actions.num_actions(n)))
+    fr, fc, d, dist = actions.decode(n, jnp.arange(actions.num_actions(n)))
+    tr, tc = jax.jit(actions.to_tile)(fr, fc, d, dist)
+    for a in ids[:: max(1, len(ids) // 97)]:
+        (r1, c1), (r2, c2) = actions.decode_to_tiles(n, a)
+        fr_i, fc_i, d_i, k_i = actions.decode(n, a)
+        assert actions.to_tile(fr_i, fc_i, d_i, k_i) == (r2, c2)
+        assert (int(tr[a]), int(tc[a])) == (r2, c2)

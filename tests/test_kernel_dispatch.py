@@ -54,6 +54,11 @@ def test_auto_dispatch_rule():
     assert auto_dispatch(None) is None
     one = make_mesh(axis_sizes=(1,), axis_names=("dp",), devices=jax.devices()[:1])
     assert auto_dispatch(batch_sharding(one)) is None
+    # A replicated batch axis (P(None)) must NOT dispatch: a shard_map with
+    # a None axis would make every device redundantly step the whole batch.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assert auto_dispatch(NamedSharding(mesh, P(None))) is None
 
 
 def test_actor_move_has_no_allgather_under_dispatch():

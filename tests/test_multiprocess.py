@@ -40,6 +40,12 @@ assert float(out[0]) == topo.global_devices, out
 
 sl = local_batch_slice(8)
 assert sl == slice(pid * 4, pid * 4 + 4), sl
+try:
+    local_batch_slice(9)  # not divisible by 2 processes -> must raise
+except ValueError:
+    pass
+else:
+    raise AssertionError("local_batch_slice(9) silently orphaned a game")
 print(f"WORKER{pid}_OK", flush=True)
 """
 

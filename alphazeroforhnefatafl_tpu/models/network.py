@@ -137,20 +137,7 @@ def init_params(net: PolicyValueNet, rng: jax.Array, num_planes: int):
     return net.init(rng, dummy)
 
 
-def masked_policy(
-    logits: jax.Array, legal_mask: jax.Array
-) -> jax.Array:
-    """Masked softmax with the reference's uniform fallback.
-
-    Mirrors ``src/mcts.py:83-102``: priors are masked to legal actions and
-    renormalized; if the legal mass underflows to zero, fall back to a
-    uniform distribution over legal actions.
-    """
-    neg_inf = jnp.finfo(logits.dtype).min
-    masked = jnp.where(legal_mask, logits, neg_inf)
-    probs = jax.nn.softmax(masked, axis=-1)
-    probs = probs * legal_mask  # clear numerical residue on illegal actions
-    total = jnp.sum(probs, axis=-1, keepdims=True)
-    n_legal = jnp.maximum(jnp.sum(legal_mask, axis=-1, keepdims=True), 1)
-    uniform = legal_mask / n_legal
-    return jnp.where(total > 0, probs / jnp.maximum(total, 1e-30), uniform)
+# The masked-softmax-with-uniform-fallback of the reference
+# (``src/mcts.py:83-102``) lives in ``search.mcts._masked_priors`` — the one
+# search-side implementation; a near-duplicate NN-side copy here was dead
+# code and a drift hazard, removed.

@@ -83,6 +83,16 @@ class CheckpointManager:
             item_handlers=ocp.StandardCheckpointHandler(),
         )
 
+    def _replay_sidecar(self, iteration: int) -> str:
+        """Per-host replay file for multi-host runs. Replay buffers are
+        HOST-LOCAL (each process keeps its own games), so saving one into
+        the single global orbax payload would hand every host process-0's
+        buffer on restore — duplicated data, host 1+'s games silently
+        dropped. Sidecars live under a non-numeric subdir so the orbax
+        step scan ignores them; retention is pruned in :meth:`save`."""
+        d = os.path.join(self.directory, f"replay_host{jax.process_index()}")
+        return os.path.join(d, f"{iteration}.npz")
+
     def save(
         self,
         iteration: int,
@@ -96,10 +106,20 @@ class CheckpointManager:
             "rng": np.asarray(rng),
             "extra": extra or {},
         }
-        if replay is not None:
+        multi_host = jax.process_count() > 1
+        if replay is not None and not multi_host:
             payload["replay"] = _replay_state(replay)
         self.mgr.save(iteration, args=ocp.args.StandardSave(payload))
         self.mgr.wait_until_finished()
+        if replay is not None and multi_host:
+            path = self._replay_sidecar(iteration)
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            np.savez(path, **_replay_state(replay))
+            # Mirror orbax retention: drop sidecars for evicted steps.
+            keep = set(self.mgr.all_steps())
+            for f in os.listdir(os.path.dirname(path)):
+                if f.endswith(".npz") and int(f[:-4]) not in keep:
+                    os.remove(os.path.join(os.path.dirname(path), f))
 
     def latest_iteration(self) -> Optional[int]:
         return self.mgr.latest_step()
@@ -130,13 +150,27 @@ class CheckpointManager:
         template = {
             "train_state": train_state,
             "rng": np.zeros(2, np.uint32),
-            "extra": extra_template or {},
         }
+        if replay is not None or extra_template is not None:
+            # Params-only callers (Elo ladders) must NOT include "extra":
+            # on a GATED checkpoint the on-disk extra carries the incumbent
+            # params dict, and an empty-dict template node makes orbax's
+            # partial-restore trim raise a type mismatch. Omitting the key
+            # is exactly what partial_restore is for.
+            template["extra"] = extra_template or {}
+        sidecar = self._replay_sidecar(step) if replay is not None else None
+        use_sidecar = sidecar is not None and os.path.exists(sidecar)
         if replay is not None:
-            template["replay"] = _replay_state(replay)
+            if not use_sidecar:
+                # Single-host layout: replay lives in the orbax payload.
+                template["replay"] = _replay_state(replay)
             restored = self.mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
+            if use_sidecar:
+                with np.load(sidecar) as z:
+                    restored = dict(restored)
+                    restored["replay"] = {k: z[k] for k in z.files}
         else:
             # Params-only restore (e.g. the Elo ladder): skip the on-disk
             # replay payload. The manager's registered StandardCheckpointHandler
@@ -190,4 +224,4 @@ class CheckpointManager:
         if replay is not None:
             _restore_replay(replay, restored["replay"])
         rng = jax.numpy.asarray(restored["rng"])
-        return step, restored["train_state"], rng, restored.get("extra", {})
+        return step, restored["train_state"], rng, restored.get("extra") or {}

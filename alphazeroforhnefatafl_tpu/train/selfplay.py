@@ -175,26 +175,27 @@ class SelfPlayActor:
         ki = bool(dispatch.interpret) if dispatch is not None else False
         self.mcts = MCTS(env, evaluate, mcts_config, kernel_interpret=ki)
 
-        def move_fn(params, states, temps, rng):
-            rng, r_search, r_sample = jax.random.split(rng, 3)
-            legal = env.legal_mask_many(states, interpret=ki)
-            result = self.mcts.search(params, states, legal, r_search, add_noise=True)
+        def move_tail(states, legal, action_probs, best_action, root_v,
+                      temps, r_sample, rng):
+            """Action selection + env step + sparse top-K policy target —
+            the ONE shared tail of every move path (monolithic, chunked
+            search, device scan), so the documented bit-identical-for-a-seed
+            guarantee between them cannot drift."""
             if mcts_config.root_selection == "gumbel":
                 # Exploration comes from the sampled root Gumbels; play the
                 # sequential-halving winner (no temperature) — unless the
                 # temperature-phase sampling mitigation is on (see
                 # SelfPlayConfig.gumbel_sample_temp_moves).
-                actions = result.best_action
+                actions = best_action
                 if config.gumbel_sample_temp_moves:
                     sampled = select_actions(
-                        result.action_probs, legal, temps, r_sample
+                        action_probs, legal, temps, r_sample
                     )
                     actions = jnp.where(temps > 0, sampled, actions)
             else:
-                actions = select_actions(result.action_probs, legal, temps, r_sample)
+                actions = select_actions(action_probs, legal, temps, r_sample)
             new_states, info = env.step_many(states, actions, interpret=ki)
-            # Sparse top-K policy target.
-            top_p, top_a = jax.lax.top_k(result.action_probs, config.policy_k)
+            top_p, top_a = jax.lax.top_k(action_probs, config.policy_k)
             top_a = jnp.where(top_p > 0, top_a, -1)
             return (
                 new_states,
@@ -202,8 +203,17 @@ class SelfPlayActor:
                 info,
                 top_a.astype(jnp.int32),
                 top_p,
-                result.root_value,
+                root_v,
                 rng,
+            )
+
+        def move_fn(params, states, temps, rng):
+            rng, r_search, r_sample = jax.random.split(rng, 3)
+            legal = env.legal_mask_many(states, interpret=ki)
+            result = self.mcts.search(params, states, legal, r_search, add_noise=True)
+            return move_tail(
+                states, legal, result.action_probs, result.best_action,
+                result.root_value, temps, r_sample, rng,
             )
 
         if sharding is None:
@@ -213,34 +223,8 @@ class SelfPlayActor:
                 # only the pre/post stages are separately jitted. ~S/chunk
                 # extra dispatches per move (~2 ms each) — noise against an
                 # 800-wave search.
-                def post_fn(states, legal, action_probs, best_action, root_v,
-                            temps, r_sample, rng):
-                    if mcts_config.root_selection == "gumbel":
-                        actions = best_action
-                        if config.gumbel_sample_temp_moves:
-                            sampled = select_actions(
-                                action_probs, legal, temps, r_sample
-                            )
-                            actions = jnp.where(temps > 0, sampled, actions)
-                    else:
-                        actions = select_actions(
-                            action_probs, legal, temps, r_sample
-                        )
-                    new_states, info = env.step_many(states, actions)
-                    top_p, top_a = jax.lax.top_k(action_probs, config.policy_k)
-                    top_a = jnp.where(top_p > 0, top_a, -1)
-                    return (
-                        new_states,
-                        actions,
-                        info,
-                        top_a.astype(jnp.int32),
-                        top_p,
-                        root_v,
-                        rng,
-                    )
-
                 jit_legal = jax.jit(lambda s: env.legal_mask_many(s))
-                jit_post = jax.jit(post_fn)
+                jit_post = jax.jit(move_tail)
 
                 def move_chunked(params, states, temps, rng):
                     # Same key derivation as the monolithic move_fn, so the
@@ -585,6 +569,9 @@ class SelfPlayActor:
             return self._play_scan(params, replay, rng, num_games, stats)
 
         states = self._reset_batch()
+        # Loop-invariant fresh batch for masked per-move resets (computing it
+        # inside the loop paid a jitted dispatch per move for nothing).
+        fresh = self._reset_batch()
         # Per-game episode buffers (host, numpy).
         ep_board = np.zeros((B, L, n, n), np.int8)
         ep_side = np.zeros((B, L), np.int8)
@@ -718,14 +705,19 @@ class SelfPlayActor:
                 would_resign_side[g] = -1
                 resign_enabled[g] = np_rng.rand() >= cfg.resign_disable_frac
 
-            # Reset finished/truncated/resigned games on device.
-            reset_mask = jnp.asarray(done | truncate | resign_now)
-            fresh = self._reset_batch()
+            # Reset finished/truncated/resigned games on device — skipped
+            # entirely on the (majority of) moves where no game ended, saving
+            # ~13 per-leaf dispatches/move on the tunneled backend.
+            ended = done | truncate | resign_now
+            if ended.any():
+                reset_mask = jnp.asarray(ended)
 
-            def where_reset(f, c):
-                d = reset_mask.reshape(reset_mask.shape + (1,) * (c.ndim - 1))
-                return jnp.where(d, f, c)
+                def where_reset(f, c):
+                    d = reset_mask.reshape(
+                        reset_mask.shape + (1,) * (c.ndim - 1)
+                    )
+                    return jnp.where(d, f, c)
 
-            states = jax.tree_util.tree_map(where_reset, fresh, states)
+                states = jax.tree_util.tree_map(where_reset, fresh, states)
 
         return stats

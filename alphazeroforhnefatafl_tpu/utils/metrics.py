@@ -9,6 +9,7 @@ JSON lines for easy scraping plus human-readable console summaries.
 from __future__ import annotations
 
 import json
+import math
 import sys
 import time
 from collections import OrderedDict
@@ -45,7 +46,16 @@ class MetricsLogger:
         if step is None:
             step = self._pending_step
         rec = {"step": step, "t": round(time.time() - self._t0, 3)}
-        rec.update({k: round(v, 6) for k, v in self._pending.items()})
+        # Non-finite scalars (a diverged loss) become strings: json.dumps
+        # would otherwise emit bare NaN/Infinity tokens — invalid JSON that
+        # breaks strict scrapers on exactly the lines needed to diagnose
+        # the divergence.
+        rec.update(
+            {
+                k: round(v, 6) if math.isfinite(v) else repr(v)
+                for k, v in self._pending.items()
+            }
+        )
         line = json.dumps(rec)
         print(line, file=self.stream, flush=True)
         if self._file:

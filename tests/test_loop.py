@@ -157,6 +157,43 @@ def test_params_only_restore(tmp_path):
     assert extra == {}
 
 
+def test_params_only_restore_from_gated_checkpoint(tmp_path):
+    """Elo-ladder (params-only) restore of a GATED checkpoint: the on-disk
+    ``extra`` carries the incumbent params dict; the restore template must
+    omit the key entirely (regression: an empty-dict template node made
+    orbax's partial-restore trim raise 'Type mismatch at (extra,)' — found
+    by the round-3 gumbel wall-clock cross-ladder)."""
+    import dataclasses
+
+    import jax
+
+    from alphazeroforhnefatafl_tpu.models.network import make_network
+    from alphazeroforhnefatafl_tpu.train.checkpoint import CheckpointManager
+    from alphazeroforhnefatafl_tpu.train.learner import (
+        init_train_state,
+        make_optimizer,
+    )
+
+    env = make_env("brandubh")
+    cfg = dataclasses.replace(
+        tiny_config(tmp_path, iterations=1),
+        arena_games=6,
+        arena_sims=4,
+        arena_max_game_len=12,
+    )
+    run_loop(env, cfg)  # gated -> extra={"incumbent_params": ...} on disk
+
+    mgr = CheckpointManager(cfg.checkpoint_dir)
+    assert mgr.saved_extra_keys() == ("incumbent_params",)
+    net = make_network(env.n, channels=cfg.channels, blocks=cfg.blocks)
+    base = init_train_state(
+        net, jax.random.PRNGKey(0), env.num_observation_planes, make_optimizer()
+    )
+    step, ts, rng, extra = mgr.restore(base, None)  # must not raise
+    assert extra == {}
+    assert int(np.asarray(ts.step)) >= 0
+
+
 def test_params_only_restore_arch_mismatch(tmp_path):
     """Restoring a checkpoint into a template of a DIFFERENT architecture
     must raise a clear error, not silently return on-disk shapes (orbax

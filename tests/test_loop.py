@@ -80,6 +80,7 @@ def test_loop_resume_across_gating_toggle(tmp_path):
         tiny_config(tmp_path, iterations=2),
         arena_games=6,
         arena_sims=4,
+        arena_every=1,
         arena_max_game_len=12,
         gate_on="decisive",
         gate_min_decisive=1,

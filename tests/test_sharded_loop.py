@@ -69,6 +69,7 @@ def test_full_iteration_sharded_with_gating(tmp_path):
         blocks=1,
         arena_games=8,
         arena_sims=2,
+        arena_every=1,
         arena_max_game_len=16,
         seed=5,
         mcts=MCTSConfig(num_simulations=4, max_children=8, max_depth=8),
@@ -180,6 +181,7 @@ def test_gumbel_loop_iteration(tmp_path):
         blocks=1,
         arena_games=8,
         arena_sims=2,
+        arena_every=1,
         arena_max_game_len=8,
         seed=6,
         mcts=MCTSConfig(

@@ -89,10 +89,11 @@ class MCTSConfig:
     #: (one B-index ROW gather of the packed f32 state row — the cheap
     #: gather class, M-independent), "dot" (one-hot [1, M] x [M, P] matmul —
     #: streams the whole packed buffer every wave, O(M) but MXU-friendly),
-    #: or "auto" (gather everywhere: with ALL state packed into a single
-    #: wide f32 row the gather is one wide-word row fetch; the round-2
-    #: measurement where row gathers lost was against per-field int8/int32
-    #: buffers whose sub-word gathers lower poorly).
+    #: or "auto" (dot everywhere: measured round 3 on the v5e against the
+    #: packed f32 row buffer, the one-hot dot beats the row gather at both
+    #: 128-sim/32-child — 280k vs 249k sims/s — and 800-sim/128-child —
+    #: 83k vs 68k, reproduced — so even the "cheap" B-index row gather
+    #: loses to an MXU-resident stream of the whole buffer here).
     node_read: str = "auto"
     #: Root action selection: "puct" (the reference's scheme with optional
     #: Dirichlet noise) or "gumbel" (Gumbel top-m + sequential halving with
@@ -280,9 +281,13 @@ class MCTS:
         self._approx_topk = config.topk == "approx" or (
             config.topk == "auto" and jax.devices()[0].platform == "tpu"
         )
-        # auto -> gather: one wide f32 row fetch, M-independent (measured
-        # against the one-hot dot on the tunneled v5e, round 3).
-        self._node_gather = config.node_read in ("auto", "gather")
+        # auto -> dot: measured on the v5e with the PACKED f32 row buffer
+        # (round 3, warm steady-state, tunnel warm-up excluded): dot 280k
+        # vs gather 249k sims/s at 128 sims/32 children, and 83k vs 68k
+        # (reproduced twice) at 800 sims/128 children. The one-hot
+        # [1, M] x [M, P] matmul rides the MXU; the row gather, though
+        # M-independent, lowers to a slower dynamic-slice on this backend.
+        self._node_gather = config.node_read == "gather"
 
     def _topk(self, priors: jax.Array) -> Tuple[jax.Array, jax.Array]:
         if self._approx_topk:

@@ -278,6 +278,20 @@ class MCTS:
         self.config = config
         self.kernel_interpret = kernel_interpret
         self.num_nodes = config.num_simulations + 1
+        # Guard every string-mode knob up front: with auto->dot dispatch a
+        # typo like "gahter" would otherwise silently fall through to the
+        # non-default branch (round-3 advisor finding).
+        for field, allowed in (
+            ("node_read", {"auto", "gather", "dot"}),
+            ("topk", {"auto", "approx", "exact"}),
+            ("backup", {"auto", "dense", "scatter"}),
+            ("root_selection", {"puct", "gumbel"}),
+        ):
+            val = getattr(config, field)
+            if val not in allowed:
+                raise ValueError(
+                    f"MCTSConfig.{field}={val!r}; expected one of {sorted(allowed)}"
+                )
         self._approx_topk = config.topk == "approx" or (
             config.topk == "auto" and jax.devices()[0].platform == "tpu"
         )

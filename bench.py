@@ -26,6 +26,30 @@ import numpy as np
 from alphazeroforhnefatafl_tpu.core.env import make_env
 
 TARGET_STEPS_PER_S = 100_000.0
+#: TPU v5e (v5 lite) bf16 systolic-array peak — the MFU denominator.
+CHIP_PEAK_FLOPS_BF16 = 197e12
+
+
+def net_flops_per_eval(
+    n: int, in_planes: int, channels: int, blocks: int, value_hidden: int = 128
+) -> float:
+    """Analytic forward-pass FLOPs of the flagship PolicyValueNet (MACs x 2).
+
+    Counts the conv/dense contractions (norms and elementwise are noise at
+    these shapes); identical for the group-norm and norm-free trunks. Kept
+    analytic rather than via ``compile().cost_analysis()`` so the figure is
+    deterministic and available even when the tunneled backend's cost
+    analysis is not.
+    """
+    nn2 = n * n
+    conv = lambda cin, cout, k: 2.0 * nn2 * cin * cout * k * k
+    f = conv(in_planes, channels, 3)  # stem
+    f += blocks * 2 * conv(channels, channels, 3)  # residual trunk
+    f += conv(channels, channels, 3)  # policy head 3x3
+    f += conv(channels, 4 * (n - 1), 1)  # policy head 1x1 -> move planes
+    f += conv(channels, 8, 1)  # value head 1x1
+    f += 2.0 * (nn2 * 8) * value_hidden + 2.0 * value_hidden  # dense stack
+    return f
 
 
 def bench_mcts_sims(on_accel: bool) -> dict:
@@ -68,28 +92,47 @@ def bench_mcts_sims(on_accel: bool) -> dict:
             run = jax.jit(run)
         rng = jax.random.PRNGKey(1)
         np.asarray(run(params, state, legal, rng))  # compile + warm
-        # Per-iteration timing, best-of: the tunneled backend's first
-        # executions of a fresh program run up to 8x slow (measured round 3),
-        # so a single aggregate window under-reports steady state. Each
-        # search is 0.5-12 s; the per-iter checksum fetch (~ms) is noise.
-        best = float("inf")
+        # Per-iteration timing: each search is 0.5-12 s of device work, so
+        # the per-iter checksum fetch (~30 ms tunnel round-trip) is noise
+        # here — unlike the env-step bench, where it dominated (round 4).
+        # Best + mean both reported: the tunneled backend's first
+        # executions of a fresh program run up to 8x slow (measured round
+        # 3), so the mean alone under-reports steady state and the best
+        # alone hides sustained-rate variance (round-3 advisor finding).
+        times = []
         for _ in range(iters):
             rng, sub = jax.random.split(rng)
             t0 = time.perf_counter()
             np.asarray(run(params, state, legal, sub))
-            best = min(best, time.perf_counter() - t0)
-        return round(batch * sims / best, 1)
+            times.append(time.perf_counter() - t0)
+        return (
+            round(batch * sims / min(times), 1),
+            round(batch * sims * len(times) / sum(times), 1),
+        )
 
+    flops = net_flops_per_eval(env.n, env.num_observation_planes, 64, 6)
     if on_accel:
+        best128, mean128 = one(1024, 128, 32, 3, 0)
+        best800, mean800 = one(1024, 800, 128, 2, 100)
         out = {
-            "mcts_sims_per_s": one(1024, 128, 32, 3, 0),
+            "mcts_sims_per_s": best128,
+            "mcts_sims_per_s_mean": mean128,
             "mcts_config": "b1024_s128_k32",
-            "mcts_sims_per_s_800": one(1024, 800, 128, 2, 100),
+            "mcts_sims_per_s_800": best800,
+            "mcts_sims_per_s_800_mean": mean800,
             "mcts_config_800": "b1024_s800_k128_c100",
+            # NN-forward MFU at each regime: one eval per simulation, so
+            # evals/s == sims/s; everything the search spends beyond the
+            # forward (traversal, env steps, backup) shows up as lost MFU.
+            "net_flops_per_eval": flops,
+            "mfu_128": round(best128 * flops / CHIP_PEAK_FLOPS_BF16, 4),
+            "mfu_800": round(best800 * flops / CHIP_PEAK_FLOPS_BF16, 4),
+            "chip_peak_tflops_bf16": CHIP_PEAK_FLOPS_BF16 / 1e12,
         }
     else:
+        best, mean = one(16, 16, 16, 1, 0)
         out = {
-            "mcts_sims_per_s": one(16, 16, 16, 1, 0),
+            "mcts_sims_per_s": best,
             "mcts_config": "b16_s16_k16",
         }
     return out
@@ -181,6 +224,14 @@ def main():
     batch = 4096 if on_accel else 256
     chunk = 32 if on_accel else 8
     iters = 8 if on_accel else 2
+    # Rollout calls per timed window. One rollout is only ~46 ms of device
+    # work (4096 games x 32 steps at ~2.8M steps/s) while a host-fetched
+    # checksum costs ~28 ms of tunnel round-trip, so syncing every rollout
+    # under-reads steady state by ~40% — that was the entire "regression"
+    # between BENCH_r02 (window timing, 2.85M) and BENCH_r03 (per-iter
+    # timing, 1.68M); the engine was identical (bisected round 4, see
+    # docs/DESIGN.md). Pipeline a window of async rollouts and sync ONCE.
+    pipeline = 8 if on_accel else 2
 
     env = make_env("copenhagen")
     state = env.reset_batch(batch)
@@ -194,22 +245,33 @@ def main():
     state, mask, rng, checksum = rollout(state, mask, rng)
     np.asarray(checksum)
 
-    # Best-of-iters with a per-iter sync: resists the tunnel's slow first
-    # executions of a fresh program (see bench_mcts_sims). The per-iter
-    # checksum fetch costs ~ms; widen `chunk` before shrinking it.
-    best = float("inf")
+    # Window timing, best-of + mean: each window runs `pipeline` rollouts
+    # async (they queue on the device) and syncs ONCE on the last checksum,
+    # so the ~28 ms tunnel round-trip is amortized over ~370 ms of device
+    # work instead of taxing every 46 ms rollout. Best-of windows resists
+    # the tunnel's slow first executions of a fresh program; the mean is
+    # reported alongside so records stay comparable (advisor r3).
+    times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        state, mask, rng, checksum = rollout(state, mask, rng)
+        for _ in range(pipeline):
+            state, mask, rng, checksum = rollout(state, mask, rng)
         np.asarray(checksum)
-        best = min(best, time.perf_counter() - t0)
+        times.append(time.perf_counter() - t0)
 
-    steps_per_s = batch * chunk / best
+    window_steps = batch * chunk * pipeline
+    steps_per_s = window_steps / min(times)
+    state_bytes = sum(
+        np.dtype(x.dtype).itemsize * x.size for x in jax.tree_util.tree_leaves(state)
+    )
     rec = {
         "metric": "env_steps_per_sec_per_chip_11x11",
         "value": round(steps_per_s, 1),
         "unit": "steps/s",
         "vs_baseline": round(steps_per_s / TARGET_STEPS_PER_S, 3),
+        "mean_value": round(window_steps * len(times) / sum(times), 1),
+        "timing": f"best_of_{iters}_windows_x{pipeline}_rollouts_sync_per_window",
+        "env_state_bytes_per_game": round(state_bytes / batch, 1),
     }
     if note:
         rec["backend"] = backend

@@ -60,11 +60,12 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
     np.asarray(run(params, state, legal, rng))
     compile_s = time.perf_counter() - t0
 
-    # Time each search separately and report the FASTEST (plus the mean):
-    # the tunneled backend's first executions of a fresh program run up to
-    # 8x slow (measured round 3: the same program 31k -> 280k sims/s within
-    # one process), so a single aggregate window under-reports steady state.
-    # Per-iter checksum fetches cost ~ms against multi-second searches.
+    # Time each search separately; report the FASTEST and the mean: the
+    # tunneled backend's first executions of a fresh program run up to 8x
+    # slow (measured round 3: the same program 31k -> 280k sims/s within
+    # one process), so the mean alone under-reports steady state and the
+    # best alone hides sustained-rate variance. Per-iter checksum fetches
+    # cost ~30 ms against multi-second searches — noise here.
     per_iter = []
     for i in range(iters):
         rng, sub = jax.random.split(rng)
@@ -83,7 +84,10 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
                 "value": round(sims_per_s, 1),
                 "unit": "sims/s",
                 "compile_s": round(compile_s, 1),
-                "steady_ms_per_search": round(dt * 1000, 1),
+                "best_ms_per_search": round(dt * 1000, 1),
+                "mean_ms_per_search": round(
+                    sum(per_iter) / len(per_iter) * 1000, 1
+                ),
                 "iter_ms": [round(t * 1000, 1) for t in per_iter],
             }
         ),

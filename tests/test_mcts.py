@@ -452,3 +452,27 @@ def test_search_in_chunks_matches_search(root_selection):
     assert np.array_equal(
         np.asarray(full.tree.child_N), np.asarray(chunked.tree.child_N)
     )
+
+
+def test_config_mode_validation():
+    """Every string-mode knob is guarded at construction: a typo like
+    'gahter' must raise instead of silently selecting the non-default
+    branch (round-3 advisor finding)."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    ev = make_fake_evaluate(env)
+    for bad in (
+        dict(node_read="gahter"),
+        dict(topk="fast"),
+        dict(backup="sparse"),
+        dict(root_selection="ucb"),
+    ):
+        with pytest.raises(ValueError):
+            MCTS(env, ev, MCTSConfig(num_simulations=4, **bad))
+    # All documented values construct.
+    for good in (
+        dict(node_read="dot", topk="exact", backup="scatter"),
+        dict(node_read="gather", topk="approx", backup="dense",
+             root_selection="gumbel"),
+        dict(),
+    ):
+        MCTS(env, ev, MCTSConfig(num_simulations=4, **good))

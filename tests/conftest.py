@@ -23,6 +23,40 @@ if os.environ.get("TAFL_TEST_PLATFORM", "cpu") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
+#: The pre-commit truth chain (CLAUDE.md): one golden + one differential +
+#: one kernel-interpret test per engine, plus the cheap serde/config guards.
+#: ``pytest -m quick`` must stay under ~2 min; the full suite is the gate
+#: for engine changes, this is the gate for everything else.
+_QUICK = (
+    "test_oracle_golden.py::TestPlayOutcome",
+    "test_oracle_golden.py::TestShieldwalls::test_regular",
+    "test_oracle_golden.py::TestRepetitions::test_repetition_loss",
+    "test_env_golden.py::test_shieldwall_step_parity[regular]",
+    "test_env_differential.py::test_differential_random_playouts[0-brandubh]",
+    "test_step_kernel.py::test_step_batch_matches_vmap_step[brandubh-True]",
+    "test_native_engine.py::test_native_differential[brandubh]",
+    "test_mcts.py::test_mcts_differential[brandubh]",
+    "test_mcts.py::test_config_mode_validation",
+    "test_fen.py::",
+    "test_compat_and_parallel.py::test_env_value_identity",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast pre-commit truth-chain subset (see conftest)"
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        nodeid = item.nodeid.split("tests/")[-1]
+        if any(nodeid.startswith(q) for q in _QUICK):
+            item.add_marker(pytest.mark.quick)
+
+
 def kernel_interpret_modes():
     """Pallas kernel modes to test: interpret mode always; the compiled
     (Mosaic) kernel auto-activates when the suite runs on a TPU backend

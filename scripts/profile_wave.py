@@ -50,7 +50,9 @@ def main():
     # Warm (compile) outside the trace.
     np.asarray(run(jax.random.PRNGKey(1)))
     t0 = time.perf_counter()
-    with jax.profiler.trace(a.trace_dir):
+    # Perfetto trace: a trace.json.gz we can parse directly (gzip+json),
+    # no TensorBoard round-trip needed for op attribution.
+    with jax.profiler.trace(a.trace_dir, create_perfetto_trace=True):
         np.asarray(run(jax.random.PRNGKey(2)))
     print(
         f"traced one search in {time.perf_counter() - t0:.2f}s -> {a.trace_dir}"

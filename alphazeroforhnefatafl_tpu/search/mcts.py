@@ -80,10 +80,16 @@ class MCTSConfig:
     #: body (row gathers are ~0.03 ms each), so unrolling U levels per
     #: iteration divides the dominant large-tree search cost by ~U.
     traverse_unroll: int = 4
-    #: Negamax backup form: "dense" (one-hot einsum over [B, M, K] — cheapest
-    #: when the stat buffers are small), "scatter" (one fused scatter-add
-    #: over the [B, D] path indices — M-independent, wins on big trees), or
-    #: "auto" (dense iff M*K <= 32768).
+    #: Negamax backup form: "dense" (one-hot einsum over [B, M, K]),
+    #: "scatter" (one fused scatter-add over the [B, D] path indices), or
+    #: "auto" (dense). Auto flipped to dense-everywhere in round 4: the
+    #: round-2 "scatter wins on big trees" rule was re-measured with a real
+    #: trace — on the v5e the TPU scatter lowering forces a {2,0,1}->{2,1,0}
+    #: layout copy of EACH scattered [B, M, K] buffer every wave (1.28 ms
+    #: per copy at M=801) plus 1.78 ms per windowed scatter, ~6.1 ms/wave
+    #: total, where the dense einsum adds stream ~2.5 ms and stay in the
+    #: scan carry's layout. Measured end-to-end at 800 sims/128 children:
+    #: dense 117.0k vs scatter 82.9k sims/s (docs/DESIGN.md round 4).
     backup: str = "auto"
     #: Node-state fetch strategy for the per-wave tree reads: "gather"
     #: (one B-index ROW gather of the packed f32 state row — the cheap
@@ -464,30 +470,31 @@ class MCTS:
         """Per-game full node-state read: one packed-row fetch + unpack."""
         return _unpack_state(self._node_row(tree, node), self.env.n)
 
-    def _take_observe_fields(self, tree: Tree, node: jax.Array):
-        """Per-game (board, side_to_play, reps) of a node — the only
-        EnvState fields ``TaflEnv.observe`` reads — from one packed row."""
-        n = self.env.n
+    @staticmethod
+    def _observe_fields_from_row(row: jax.Array, n: int):
+        """Per-game (board, side_to_play, reps) — the only EnvState fields
+        ``TaflEnv.observe`` reads — sliced from an already-fetched packed
+        row (no extra buffer traffic)."""
         offs = _scalar_offsets(n)
         side_o, _, _ = offs["side_to_play"]
         reps_o, reps_w, _ = offs["reps"]
-        row = self._node_row(tree, node)
         return (
             row[: n * n].reshape(n, n).astype(jnp.int8),
             row[side_o].astype(jnp.int32),
             row[reps_o : reps_o + reps_w].astype(jnp.int32),
         )
 
-    def _gather_parent(self, tree: Tree, t):
-        """Per-game: the traversal's leaf-edge parent state and action."""
+    def _gather_action(self, tree: Tree, t):
+        """Per-game: the traversal's leaf-edge action.
+
+        [M, K] int32 row gather — the traversal already proves this class
+        cheap (it reads five such rows per level).
+        """
         parent, slot = t["leaf_parent"], t["leaf_slot"]
-        parent_state = self._take_node_state(tree, parent)
         K = self.config.max_children
-        # [M, K] int32 row gather — the traversal already proves this class
-        # cheap (it reads five such rows per level).
         row = tree.child_action[parent]  # [K]
         action = jnp.sum(row * (jnp.arange(K) == slot)).astype(jnp.int32)
-        return parent_state, jnp.maximum(action, 0)
+        return jnp.maximum(action, 0)
 
     def _materialize_batched(self, tree, t, child_state: EnvState, new_idx):
         """Batched phase 1b: write the stepped children into node slot
@@ -515,16 +522,29 @@ class MCTS:
         terminal = wr(tree.terminal, child_state.terminated)
         tvals = jax.vmap(terminal_value)(child_state)
         tval_buf = wr(tree.terminal_value, tvals)
-        # The parent->child link is per-game (parent, slot): one B-index
-        # scatter-add. Unmaterialized links hold -1, so adding new_idx + 1
-        # sets them to new_idx; masked games add 0 (no-op at their clamped
-        # index). A dense one-hot masked write here would re-stream the
-        # whole [B, M, K] buffer every wave.
-        b_ids = jnp.arange(t["leaf_parent"].shape[0])
-        delta = jnp.where(make_new, new_idx + 1, 0)
-        child_node = tree.child_node.at[
-            b_ids, jnp.maximum(t["leaf_parent"], 0), jnp.maximum(t["leaf_slot"], 0)
-        ].add(delta)
+        # The parent->child link is per-game (parent, slot). Two forms:
+        # "scatter" keeps the round-2 B-index scatter-add (unmaterialized
+        # links hold -1; adding new_idx + 1 sets them to new_idx; masked
+        # games add 0 at their clamped index). The default dense one-hot
+        # masked write streams the [B, M, K] buffer once — measured round 4
+        # (trace): the TPU scatter lowering forced a {2,0,1}->{2,1,0} layout
+        # copy of the whole buffer every wave anyway (1.28 ms) ON TOP of the
+        # scatter, so the dense write's single stream is strictly cheaper.
+        if self.config.backup == "scatter":
+            b_ids = jnp.arange(t["leaf_parent"].shape[0])
+            delta = jnp.where(make_new, new_idx + 1, 0)
+            child_node = tree.child_node.at[
+                b_ids,
+                jnp.maximum(t["leaf_parent"], 0),
+                jnp.maximum(t["leaf_slot"], 0),
+            ].add(delta)
+        else:
+            M = tree.child_node.shape[1]
+            K = tree.child_node.shape[2]
+            pm = jnp.arange(M)[None, :] == jnp.maximum(t["leaf_parent"], 0)[:, None]
+            ps = jnp.arange(K)[None, :] == jnp.maximum(t["leaf_slot"], 0)[:, None]
+            hit = pm[:, :, None] & ps[:, None, :] & make_new[:, None, None]
+            child_node = jnp.where(hit, new_idx, tree.child_node)
         tree = tree.replace(
             state_packed=state_packed,
             terminal=terminal,
@@ -576,11 +596,11 @@ class MCTS:
 
         # Negamax backup along the recorded paths (src/mcts.py:125-136).
         # Path position j (0 = root edge) receives v * (-1)^(depth - j).
-        # Two measured regimes (docs/DESIGN.md): small stat buffers favor the
-        # dense one-hot einsum (full-buffer streaming is cheap); large trees
-        # favor ONE fused scatter-add per buffer over the [B, D] path indices
-        # (~B*D updates, M-independent — a scatter costs ~0.6 ms at B=1024
-        # regardless of buffer size, where dense streaming grows with M*K).
+        # Dense one-hot einsum adds by default: the round-4 trace showed the
+        # TPU scatter lowering re-laying out each scattered [B, M, K] buffer
+        # every wave (layout copy + windowed scatter ~3 ms/buffer at M=801),
+        # where the einsum adds stream in the scan carry's own layout
+        # (117.0k vs 82.9k sims/s at 800 sims — docs/DESIGN.md round 4).
         B = v.shape[0]
         depth = t["depth"]  # [B]
         D = t["path_nodes"].shape[1]
@@ -590,7 +610,7 @@ class MCTS:
         sign_v = sign_v * on_path  # [B, D]
         backup = self.config.backup
         if backup == "auto":
-            backup = "dense" if M * K <= 32768 else "scatter"
+            backup = "dense"
         if backup == "dense":
             Pm = (
                 (t["path_nodes"][:, :, None] == jnp.arange(M)[None, None, :])
@@ -731,7 +751,18 @@ class MCTS:
             else:
                 forced = jnp.full((B,), -1, jnp.int32)
             t = jax.vmap(self._traverse)(tree, forced)
-            parent_state, actions = jax.vmap(self._gather_parent)(tree, t)
+            # ONE packed-row fetch per game per wave (round 4; previously
+            # two full dots): for expanding games the row of the leaf
+            # edge's parent (the env-step input); for terminal/depth-capped
+            # games the stopped-at node itself — their env-step output is
+            # discarded everywhere (materialize/expand/prior writes are all
+            # masked by make_new), but their observe() fields must come
+            # from the stored node, and they sit in this same row.
+            read_node = jnp.where(t["at_node_leaf"], t["node"], t["leaf_parent"])
+            row = jax.vmap(self._node_row)(tree, read_node)
+            n = self.env.n
+            parent_state = jax.vmap(lambda r: _unpack_state(r, n))(row)
+            actions = jax.vmap(self._gather_action)(tree, t)
             # Batched env step — the fused pallas kernel on TPU. Its
             # info.legal_mask is the leaf's mask for prior computation.
             child_state, step_info = self.env.step_many(
@@ -741,12 +772,12 @@ class MCTS:
             new_idx = wave + 1
             tree, leaf = self._materialize_batched(tree, t, child_state, new_idx)
             # Observation inputs for the leaf: the fresh child state for
-            # newly materialized leaves, else the stored node state (only the
-            # fields observe() reads are fetched, via one-hot dots).
+            # newly materialized leaves, else the stored node fields sliced
+            # from the already-fetched row.
             make_new = ~t["at_node_leaf"]
             stored = jax.vmap(
-                lambda tr, nd: self._take_observe_fields(tr, nd)
-            )(tree, t["node"])
+                lambda r: self._observe_fields_from_row(r, n)
+            )(row)
 
             def sel(fresh, old):
                 m = make_new.reshape((-1,) + (1,) * (fresh.ndim - 1))

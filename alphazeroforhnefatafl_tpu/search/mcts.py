@@ -113,6 +113,21 @@ class MCTSConfig:
     gumbel_considered: int = 16  # max root candidates entering halving
     gumbel_cvisit: float = 50.0  # sigma(q) = (cvisit + max_N) * cscale * q
     gumbel_cscale: float = 1.0
+    #: Leaves expanded per tree per simulation wave (PUCT only). The wave's
+    #: dominant costs are FIXED streams of the [B, M, K] stat buffers (dense
+    #: backup einsums, child_node link write — the round-4 trace attribution,
+    #: docs/DESIGN.md), so running L virtual-loss traversals per wave and
+    #: fusing their env steps / NN forwards / backups pays those streams once
+    #: per L simulations. 1 = the exact serial-equivalent search (the
+    #: differential-tested reference semantics); >1 is the standard
+    #: virtual-loss parallelization (a documented deviation: within a wave,
+    #: later traversals see +vl/-vl pseudo-visits on earlier paths, and a
+    #: traversal landing on an already-claimed edge re-evaluates that child
+    #: instead of descending into it). Must divide num_simulations.
+    leaves_per_wave: int = 1
+    #: Virtual-loss weight: pending traversals count as this many losses on
+    #: their path edges during intra-wave selection.
+    virtual_loss: float = 1.0
 
 
 class Tree(struct.PyTreeNode):
@@ -156,6 +171,11 @@ class SearchResult(struct.PyTreeNode):
     root_value: jax.Array  # f32[B] mean root value (mover perspective)
     root_visits: jax.Array  # i32[B]
     best_action: jax.Array  # i32[B] action to play (gumbel: the halving winner)
+    #: f32[B]: fraction of this search's CONSUMED prior computations (root +
+    #: each expanded leaf) where the legal-masked NN policy summed to zero and
+    #: the uniform-over-legal fallback fired — the event the reference logs as
+    #: its one error (src/mcts.py:96); SURVEY §5 says to count it as a metric.
+    prior_fallback_rate: jax.Array
     tree: Any  # final Tree (batched), for inspection/reuse
 
 
@@ -253,14 +273,27 @@ def _unpack_state(row: jax.Array, n: int) -> EnvState:
     )
 
 
-def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
+def _masked_priors_fb(
+    logits: jax.Array, legal: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
     """Legal-masked, renormalized priors with uniform fallback
-    (``src/mcts.py:83-102``)."""
+    (``src/mcts.py:83-102``); also returns ``fell_back: bool[B]`` — True where
+    everything masked to zero and the uniform fallback fired (the condition
+    the reference logs at ``src/mcts.py:96``)."""
     masked = jnp.where(legal, logits, NEG_INF)
     p = jax.nn.softmax(masked, axis=-1) * legal
     total = jnp.sum(p, axis=-1, keepdims=True)
     n_legal = jnp.maximum(jnp.sum(legal, axis=-1, keepdims=True), 1)
-    return jnp.where(total > 0, p / jnp.maximum(total, 1e-30), legal / n_legal)
+    fell_back = total[..., 0] <= 0
+    return (
+        jnp.where(total > 0, p / jnp.maximum(total, 1e-30), legal / n_legal),
+        fell_back,
+    )
+
+
+def _masked_priors(logits: jax.Array, legal: jax.Array) -> jax.Array:
+    """Priors only (see :func:`_masked_priors_fb`)."""
+    return _masked_priors_fb(logits, legal)[0]
 
 
 class MCTS:
@@ -297,6 +330,21 @@ class MCTS:
             if val not in allowed:
                 raise ValueError(
                     f"MCTSConfig.{field}={val!r}; expected one of {sorted(allowed)}"
+                )
+        L = config.leaves_per_wave
+        if L < 1:
+            raise ValueError(f"leaves_per_wave={L}; must be >= 1")
+        if L > 1:
+            if config.root_selection == "gumbel":
+                raise ValueError(
+                    "leaves_per_wave > 1 is a PUCT-only optimization (the "
+                    "gumbel halving schedule forces one root slot per "
+                    "simulation)"
+                )
+            if config.num_simulations % L:
+                raise ValueError(
+                    f"num_simulations={config.num_simulations} must be a "
+                    f"multiple of leaves_per_wave={L}"
                 )
         self._approx_topk = config.topk == "approx" or (
             config.topk == "auto" and jax.devices()[0].platform == "tpu"
@@ -352,26 +400,43 @@ class MCTS:
 
     # -------------------- selection --------------------
 
-    def _select_slot(self, tree: Tree, node: jax.Array) -> jax.Array:
+    def _select_slot(self, tree: Tree, node: jax.Array, vn=None) -> jax.Array:
         """PUCT argmax over the node's edge slots (``src/mcts.py:109-121``).
 
         All reads are B-index row gathers of the [M, K] stat buffers — the
-        cheap gather class on TPU (see Tree docstring).
+        cheap gather class on TPU (see Tree docstring). ``vn`` (f32[K],
+        multi-leaf waves only): virtual visit counts from this wave's pending
+        traversals — each counts as ``virtual_loss`` losses on its edges.
+        The ``vn is None`` branch is kept integer-exact so single-leaf
+        searches stay bit-identical to the reference semantics.
         """
         N = tree.child_N[node]
         W = tree.child_W[node]
         P = tree.child_prior[node]
-        Ns = jnp.sum(N).astype(jnp.float32)  # Ns == sum of edge visits
-        Q = jnp.where(N > 0, W / jnp.maximum(N, 1), 0.0)
-        u = Q + self.config.cpuct * P * jnp.sqrt(Ns + EPS) / (1.0 + N)
+        if vn is None:
+            Ns = jnp.sum(N).astype(jnp.float32)  # Ns == sum of edge visits
+            Q = jnp.where(N > 0, W / jnp.maximum(N, 1), 0.0)
+            u = Q + self.config.cpuct * P * jnp.sqrt(Ns + EPS) / (1.0 + N)
+        else:
+            Nf = N.astype(jnp.float32) + vn
+            Wf = W - self.config.virtual_loss * vn
+            Ns = jnp.sum(Nf)
+            Q = jnp.where(Nf > 0, Wf / jnp.maximum(Nf, 1.0), 0.0)
+            u = Q + self.config.cpuct * P * jnp.sqrt(Ns + EPS) / (1.0 + Nf)
         u = jnp.where(tree.child_action[node] >= 0, u, NEG_INF)
         return jnp.argmax(u).astype(jnp.int32)
 
-    def _traverse(self, tree: Tree, forced_root_slot: jax.Array):
+    def _traverse(
+        self, tree: Tree, forced_root_slot: jax.Array, prev_nodes=None,
+        prev_slots=None,
+    ):
         """Walk from the root to a leaf edge without stepping the env.
 
         ``forced_root_slot``: edge slot to take at the root, or -1 for PUCT
         (the Gumbel sequential-halving driver forces root candidates).
+        ``prev_nodes``/``prev_slots`` (i32[Lp, D], multi-leaf waves only):
+        the paths of this wave's earlier traversals; each on-path (node,
+        slot) hit contributes one virtual visit to selection at that node.
 
         Returns (path_nodes, path_slots, depth, leaf_parent, leaf_slot,
         at_node_leaf, leaf_node): ``at_node_leaf`` means the walk stopped at
@@ -379,8 +444,10 @@ class MCTS:
         an unmaterialized edge (child_node == -1).
         """
         D = self.config.max_depth
+        K = self.config.max_children
         path_nodes = jnp.full((D,), -1, jnp.int32)
         path_slots = jnp.full((D,), -1, jnp.int32)
+        use_vl = prev_nodes is not None and prev_nodes.shape[0] > 0
 
         def cond(c):
             return ~c["done"]
@@ -390,7 +457,18 @@ class MCTS:
             node = c["node"]
             is_leaf_node = ~tree.expanded[node] | tree.terminal[node]
 
-            slot = self._select_slot(tree, node)
+            if use_vl:
+                # Virtual counts at this node from the wave's pending paths:
+                # off-path entries hold node -1 and never match. Tiny
+                # [Lp*D] x [Lp*D, K] contraction — no big-buffer traffic.
+                match = (prev_nodes == node).astype(jnp.float32)  # [Lp, D]
+                onehot = (
+                    prev_slots[..., None] == jnp.arange(K)
+                ).astype(jnp.float32)  # [Lp, D, K]
+                vn = jnp.einsum("ld,ldk->k", match, onehot)
+                slot = self._select_slot(tree, node, vn)
+            else:
+                slot = self._select_slot(tree, node)
             # Node 0 is only ever visited as the root.
             slot = jnp.where(
                 (node == 0) & (forced_root_slot >= 0), forced_root_slot, slot
@@ -657,7 +735,7 @@ class MCTS:
         # Root evaluation + expansion (the first leaf visit of the root).
         obs = jax.vmap(self.env.observe)(root_state)
         logits, root_nn_value = self.evaluate(params, obs)
-        priors = _masked_priors(logits, root_legal)
+        priors, root_fb = _masked_priors_fb(logits, root_legal)
         if (not use_gumbel) and add_noise and cfg.dirichlet_eps > 0:
             rng, sub = jax.random.split(rng)
             n_legal = jnp.maximum(
@@ -701,6 +779,10 @@ class MCTS:
             slot_valid=slot_valid,
             slot_logits=slot_logits,
             gumbel=gumbel,
+            # Consumed-prior fallback bookkeeping (SURVEY §5 metric): the root
+            # expansion is the first consumed prior computation of the search.
+            fb_count=root_fb.astype(jnp.int32),
+            ex_count=jnp.ones((B,), jnp.int32),
         )
         return tree, aux
 
@@ -727,6 +809,10 @@ class MCTS:
         cfg = self.config
         use_gumbel = cfg.root_selection == "gumbel"
         B = tree.expanded.shape[0]
+        if cfg.leaves_per_wave > 1:
+            return self._wave_scan_multi(
+                params, tree, aux, wave_offset, m_sched
+            )
 
         def sim_step(tree, xs):
             wave, m_considered = xs
@@ -790,17 +876,287 @@ class MCTS:
             )
             obs = jax.vmap(self.env.observe)(leaf_state)
             logits, value = self.evaluate(params, obs)
-            priors = _masked_priors(logits, leaf_legal)
+            priors, fell_back = _masked_priors_fb(logits, leaf_legal)
+            # The priors are only CONSUMED where a fresh non-terminal leaf is
+            # expanded; a terminal leaf's (discarded) mask can be all-illegal
+            # by construction and must not count as a fallback event.
+            consumed = make_new & ~child_state.terminated
             tree = self._simulate_post_batched(tree, t, leaf, priors, value, new_idx)
-            return tree, None
+            fb = dict(
+                fb=(fell_back & consumed).astype(jnp.int32),
+                ex=consumed.astype(jnp.int32),
+            )
+            return tree, fb
 
         n_waves = m_sched.shape[0]
-        tree, _ = jax.lax.scan(
+        tree, fbs = jax.lax.scan(
             sim_step,
             tree,
             (wave_offset + jnp.arange(n_waves, dtype=jnp.int32), m_sched),
         )
-        return tree
+        return tree, jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), fbs)
+
+    def _node_rows_multi(self, tree: Tree, nodes: jax.Array) -> jax.Array:
+        """Packed state rows for ``nodes: i32[B, L]`` -> f32[B, L, P].
+
+        ``"dot"``: ONE batched [L, M] x [M, P] one-hot matmul per game —
+        streams the packed buffer once per WAVE for all L leaves (the whole
+        point of multi-leaf waves). ``"gather"``: L row gathers per game.
+        """
+        if self._node_gather:
+            P = tree.state_packed.shape[-1]
+            idx = jnp.broadcast_to(nodes[:, :, None], nodes.shape + (P,))
+            return jnp.take_along_axis(tree.state_packed, idx, axis=1)
+        M = tree.state_packed.shape[1]
+        onehot = (nodes[:, :, None] == jnp.arange(M)[None, None, :]).astype(
+            jnp.float32
+        )  # [B, L, M]
+        return jnp.einsum(
+            "blm,bmp->blp", onehot, tree.state_packed,
+            preferred_element_type=jnp.float32,
+        )
+
+    def _wave_scan_multi(self, params, tree, aux, wave_offset, m_sched):
+        """Multi-leaf wave scan (``leaves_per_wave`` = L > 1, PUCT only).
+
+        Round-4 trace attribution (docs/DESIGN.md): at 800 sims the wave is
+        dominated by FIXED [B, M, K]-buffer streams — the dense backup
+        einsum adds and the child_node link write — not by per-leaf work. So
+        each wave runs L sequential virtual-loss traversals (traversal l
+        sees +vl pseudo-visits on the paths of traversals < l, steering it
+        elsewhere), then ONE fused env step + NN forward over the B*L
+        leaves, and ONE combined link/backup pass — the big streams are paid
+        once per L simulations. A traversal that still lands on an edge an
+        earlier leaf claimed is demoted to a duplicate evaluation: its value
+        backs up its path, but no second node is linked (documented
+        deviation from serial order; see ``MCTSConfig.leaves_per_wave``).
+        ``m_sched``'s LENGTH is the chunk's simulation count (its entries
+        are unused — gumbel is rejected at init); ``wave_offset`` stays in
+        simulation units so the chunked driver's node indexing is unchanged.
+        """
+        cfg = self.config
+        L = cfg.leaves_per_wave
+        D = cfg.max_depth
+        K = cfg.max_children
+        B = tree.expanded.shape[0]
+        M = tree.expanded.shape[1]
+        n = self.env.n
+        n_sims = m_sched.shape[0]
+        assert n_sims % L == 0, (n_sims, L)
+        f32 = jnp.float32
+
+        def sim_step(tree, sim0):
+            # --- L virtual-loss traversals ---------------------------------
+            ts = []
+            prev_nodes = jnp.zeros((B, 0, D), jnp.int32)
+            prev_slots = jnp.zeros((B, 0, D), jnp.int32)
+            for _ in range(L):
+                t = jax.vmap(
+                    lambda tr, pn, ps: self._traverse(tr, jnp.int32(-1), pn, ps)
+                )(tree, prev_nodes, prev_slots)
+                ts.append(t)
+                prev_nodes = jnp.concatenate(
+                    [prev_nodes, t["path_nodes"][:, None, :]], 1
+                )
+                prev_slots = jnp.concatenate(
+                    [prev_slots, t["path_slots"][:, None, :]], 1
+                )
+            parent = jnp.stack([t["leaf_parent"] for t in ts], 1)  # [B, L]
+            slot = jnp.stack([t["leaf_slot"] for t in ts], 1)
+            stop_node = jnp.stack([t["node"] for t in ts], 1)
+            at_node_leaf = jnp.stack([t["at_node_leaf"] for t in ts], 1)
+            depth = jnp.stack([t["depth"] for t in ts], 1)
+            path_nodes = jnp.stack([t["path_nodes"] for t in ts], 1)  # [B,L,D]
+            path_slots = jnp.stack([t["path_slots"] for t in ts], 1)
+
+            # Demote duplicate claims of the same unmaterialized edge: only
+            # the FIRST claimant links/expands its node. (A leaf demoted at
+            # j cannot hide a collision: l's collision is then with j's own
+            # earlier claimant.)
+            make_new = ~at_node_leaf  # [B, L]
+            for l in range(1, L):
+                dup = jnp.zeros((B,), bool)
+                for j in range(l):
+                    dup = dup | (
+                        make_new[:, j]
+                        & (parent[:, j] == parent[:, l])
+                        & (slot[:, j] == slot[:, l])
+                    )
+                make_new = make_new.at[:, l].set(make_new[:, l] & ~dup)
+
+            # --- ONE fused state read / env step / NN forward --------------
+            read_node = jnp.where(at_node_leaf, stop_node, parent)  # [B, L]
+            rows = self._node_rows_multi(tree, read_node)  # [B, L, P]
+            flat_rows = rows.reshape(B * L, -1)
+            parent_state = jax.vmap(lambda r: _unpack_state(r, n))(flat_rows)
+            act_rows = jnp.take_along_axis(
+                tree.child_action,
+                jnp.broadcast_to(
+                    jnp.maximum(parent, 0)[:, :, None], (B, L, K)
+                ),
+                axis=1,
+            )  # [B, L, K]
+            actions = jnp.maximum(
+                jnp.sum(
+                    act_rows * (jnp.arange(K)[None, None, :] == slot[:, :, None]),
+                    axis=-1,
+                ),
+                0,
+            ).astype(jnp.int32)  # [B, L]
+            child_state, step_info = self.env.step_many(
+                parent_state, actions.reshape(B * L),
+                interpret=self.kernel_interpret,
+            )
+            leaf_legal = step_info.legal_mask  # [B*L, A]
+
+            # --- materialize: per-leaf slice writes + ONE link stream ------
+            idx0 = sim0 + 1  # node slot of this wave's first leaf
+            packed = jax.vmap(_pack_state)(child_state).reshape(B, L, -1)
+            term = child_state.terminated.reshape(B, L)
+            tvals = jax.vmap(terminal_value)(child_state).reshape(B, L)
+            state_packed = tree.state_packed
+            terminal_buf = tree.terminal
+            tval_buf = tree.terminal_value
+            for l in range(L):
+                def wr(buf, val, m):
+                    cur = jax.lax.dynamic_index_in_dim(
+                        buf, idx0 + l, 1, keepdims=False
+                    )
+                    mm = m.reshape((-1,) + (1,) * (val.ndim - 1))
+                    return jax.lax.dynamic_update_index_in_dim(
+                        buf, jnp.where(mm, val, cur), idx0 + l, 1
+                    )
+
+                mk = make_new[:, l]
+                state_packed = wr(state_packed, packed[:, l], mk)
+                terminal_buf = wr(terminal_buf, term[:, l], mk)
+                tval_buf = wr(tval_buf, tvals[:, l], mk)
+            # child_node links for all L leaves in ONE [B, M, K] pass:
+            # unmaterialized entries hold -1 and duplicates were demoted, so
+            # adding (idx + 1) at each claimed (parent, slot) sets the link.
+            pm = (
+                jnp.maximum(parent, 0)[:, :, None]
+                == jnp.arange(M)[None, None, :]
+            ).astype(f32)  # [B, L, M]
+            ps = (
+                jnp.maximum(slot, 0)[:, :, None]
+                == jnp.arange(K)[None, None, :]
+            ).astype(f32)  # [B, L, K]
+            idxs = (idx0 + jnp.arange(L)).astype(f32)  # [L]
+            w_link = make_new.astype(f32) * (idxs[None, :] + 1.0)  # [B, L]
+            link_delta = jnp.einsum(
+                "blm,blk->bmk", pm * w_link[:, :, None], ps,
+                preferred_element_type=f32,
+            )
+            child_node = tree.child_node + link_delta.astype(jnp.int32)
+            tree = tree.replace(
+                state_packed=state_packed,
+                terminal=terminal_buf,
+                terminal_value=tval_buf,
+                child_node=child_node,
+                n_nodes=jnp.full_like(tree.n_nodes, idx0 + L),
+            )
+
+            # --- leaf values / expansion -----------------------------------
+            # Terminal flags come straight from the stepped child (fresh or
+            # duplicate leaves) or the stored node (at_node_leaf), not from
+            # the just-written buffers — a duplicate's slot was never written.
+            stop_term = jnp.take_along_axis(tree.terminal, stop_node, axis=1)
+            stop_tv = jnp.take_along_axis(tree.terminal_value, stop_node, axis=1)
+            leaf_terminal = jnp.where(at_node_leaf, stop_term, term)  # [B, L]
+            leaf_tv = jnp.where(at_node_leaf, stop_tv, tvals)
+
+            anl_flat = at_node_leaf.reshape(B * L)
+            stored = jax.vmap(
+                lambda r: self._observe_fields_from_row(r, n)
+            )(flat_rows)
+
+            def sel(fresh, old):
+                m = anl_flat.reshape((-1,) + (1,) * (fresh.ndim - 1))
+                return jnp.where(m, old, fresh)
+
+            leaf_state = child_state.replace(
+                board=sel(child_state.board, stored[0]),
+                side_to_play=sel(child_state.side_to_play, stored[1]),
+                reps=sel(child_state.reps, stored[2]),
+            )
+            obs = jax.vmap(self.env.observe)(leaf_state)
+            logits, value = self.evaluate(params, obs)  # [B*L, ...]
+            priors, fell_back = _masked_priors_fb(logits, leaf_legal)
+            top_p, top_a = self._topk(priors)
+            has_mass = top_p > 0
+            top_a = jnp.where(has_mass, top_a, -1).astype(jnp.int32)
+            top_p = jnp.where(has_mass, top_p, 0.0)
+            top_a = top_a.reshape(B, L, K)
+            top_p = top_p.reshape(B, L, K)
+            expand = make_new & ~term  # [B, L]
+            expanded_buf = tree.expanded
+            ca_buf = tree.child_action
+            cp_buf = tree.child_prior
+            for l in range(L):
+                def wr(buf, val, m):
+                    cur = jax.lax.dynamic_index_in_dim(
+                        buf, idx0 + l, 1, keepdims=False
+                    )
+                    mm = m.reshape((-1,) + (1,) * (val.ndim - 1))
+                    return jax.lax.dynamic_update_index_in_dim(
+                        buf, jnp.where(mm, val, cur), idx0 + l, 1
+                    )
+
+                ex = expand[:, l]
+                expanded_buf = wr(expanded_buf, jnp.ones_like(ex), ex)
+                ca_buf = wr(ca_buf, top_a[:, l], ex)
+                cp_buf = wr(cp_buf, top_p[:, l], ex)
+            tree = tree.replace(
+                expanded=expanded_buf, child_action=ca_buf, child_prior=cp_buf
+            )
+
+            # --- ONE combined negamax backup over all L paths --------------
+            v = jnp.where(leaf_terminal, leaf_tv, value.reshape(B, L))  # [B, L]
+            j = jnp.arange(D)[None, None, :]
+            on_path = j < depth[:, :, None]  # [B, L, D]
+            sign_v = jnp.where(
+                (depth[:, :, None] - j) % 2 == 1, -v[:, :, None], v[:, :, None]
+            ) * on_path
+            Pm = (
+                (path_nodes[:, :, :, None] == jnp.arange(M)[None, None, None, :])
+                & on_path[:, :, :, None]
+            ).astype(f32).reshape(B, L * D, M)
+            S = (
+                path_slots[:, :, :, None] == jnp.arange(K)[None, None, None, :]
+            ).astype(f32).reshape(B, L * D, K)
+            sv = sign_v.reshape(B, L * D)
+            op = on_path.astype(f32).reshape(B, L * D)
+            w_add = jnp.einsum(
+                "bjm,bjk->bmk", Pm, S * sv[:, :, None],
+                preferred_element_type=f32,
+            )
+            n_add = jnp.einsum(
+                "bjm,bjk->bmk", Pm, S * op[:, :, None],
+                preferred_element_type=f32,
+            )
+            tree = tree.replace(
+                child_W=tree.child_W + w_add,
+                child_N=tree.child_N + n_add.astype(jnp.int32),
+            )
+            consumed = expand  # priors consumed only at fresh expansions
+            fb = dict(
+                fb=jnp.sum(
+                    fell_back.reshape(B, L).astype(jnp.int32)
+                    * consumed.astype(jnp.int32),
+                    axis=1,
+                ),
+                ex=jnp.sum(consumed.astype(jnp.int32), axis=1),
+            )
+            return tree, fb
+
+        waves = n_sims // L
+        tree, fbs = jax.lax.scan(
+            sim_step,
+            tree,
+            wave_offset + jnp.arange(waves, dtype=jnp.int32) * L,
+        )
+        return tree, jax.tree_util.tree_map(lambda x: jnp.sum(x, axis=0), fbs)
 
     def _finalize(self, tree, aux, root_legal) -> SearchResult:
         """Extract the policy/value outputs from a searched tree."""
@@ -863,6 +1219,8 @@ class MCTS:
             root_value=root_value,
             root_visits=root_visits,
             best_action=best_action.astype(jnp.int32),
+            prior_fallback_rate=aux["fb_count"].astype(jnp.float32)
+            / jnp.maximum(aux["ex_count"], 1).astype(jnp.float32),
             tree=tree,
         )
 
@@ -888,7 +1246,12 @@ class MCTS:
         """
         tree, aux = self._root_setup(params, root_state, root_legal, rng, add_noise)
         m_sched = jnp.asarray(self._schedule(), jnp.int32)
-        tree = self._wave_scan(params, tree, aux, jnp.int32(0), m_sched)
+        tree, fb = self._wave_scan(params, tree, aux, jnp.int32(0), m_sched)
+        aux = dict(
+            aux,
+            fb_count=aux["fb_count"] + fb["fb"],
+            ex_count=aux["ex_count"] + fb["ex"],
+        )
         return self._finalize(tree, aux, root_legal)
 
     def search_in_chunks(
@@ -914,8 +1277,11 @@ class MCTS:
         fine at training budgets (<= ~256 sims).
         """
         S = self.config.num_simulations
+        L = self.config.leaves_per_wave
         chunk = min(chunk, S)
-        while S % chunk != 0:
+        # The chunk must divide the budget AND hold whole waves (L sims per
+        # wave); L | S is enforced at init, so chunk = L always terminates.
+        while S % chunk != 0 or chunk % L != 0:
             chunk -= 1
         if getattr(self, "_chunk_jit", None) is None:
             self._chunk_jit = {
@@ -926,9 +1292,16 @@ class MCTS:
         fns = self._chunk_jit
         sched = self._schedule()
         tree, aux = fns["setup"](params, root_state, root_legal, rng, add_noise)
+        fb_count, ex_count = aux["fb_count"], aux["ex_count"]
         for lo in range(0, S, chunk):
             m_sched = jnp.asarray(sched[lo : lo + chunk], jnp.int32)
-            tree = fns["scan"](params, tree, aux, jnp.int32(lo), m_sched)
+            # aux's own counts stay at their setup values so every chunk hits
+            # the SAME compiled program; the running totals accumulate outside
+            # (two tiny adds per chunk — noise against a chunk of waves).
+            tree, fb = fns["scan"](params, tree, aux, jnp.int32(lo), m_sched)
+            fb_count = fb_count + fb["fb"]
+            ex_count = ex_count + fb["ex"]
+        aux = dict(aux, fb_count=fb_count, ex_count=ex_count)
         return fns["final"](tree, aux, root_legal)
 
 

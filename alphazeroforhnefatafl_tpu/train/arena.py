@@ -33,6 +33,10 @@ class ArenaResult:
     #: with short ply caps these can dominate, and silently folding them into
     #: ``draws`` hid that from the gate (VERDICT r2 weak #8).
     truncated: int = 0
+    #: Mean per-search prior-fallback rate over the match (legal-masked NN
+    #: policy summed to zero -> uniform fallback; src/mcts.py:96 counted as a
+    #: metric per SURVEY §5).
+    prior_fallback_rate: float = 0.0
 
     @property
     def score(self) -> float:
@@ -65,6 +69,26 @@ class ArenaResult:
         s = min(max(self.score, 1e-3), 1 - 1e-3)
         return -400.0 * math.log10(1.0 / s - 1.0)
 
+    def decisive_wilson_lb(self, z: float = 1.0) -> float:
+        """Wilson-score LOWER bound on the candidate's decisive win rate.
+
+        The confidence-aware gating signal (VERDICT r4 weak #6): 11x11 arenas
+        run mostly truncated/drawn, so ``decisive_score`` can ride on a
+        handful of games — the bound shrinks toward 0.5-ish unless the
+        decisive sample actually supports promotion. ``z`` is the one-sided
+        normal quantile (1.0 ~ 84%, 1.64 ~ 95%). Returns 0 when no decisive
+        games were played.
+        """
+        n = self.decisive_games
+        if n == 0:
+            return 0.0
+        p = self.candidate_wins / n
+        z2 = z * z
+        denom = 1.0 + z2 / n
+        center = p + z2 / (2 * n)
+        margin = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        return (center - margin) / denom
+
     def as_dict(self):
         return {
             "games": self.games,
@@ -74,7 +98,9 @@ class ArenaResult:
             "truncated": self.truncated,
             "score": self.score,
             "decisive_score": self.decisive_score,
+            "decisive_wilson_lb": self.decisive_wilson_lb(),
             "elo_delta": self.elo_delta,
+            "prior_fallback_rate": self.prior_fallback_rate,
         }
 
 
@@ -200,7 +226,7 @@ def _match_move_fn(env, evaluate, mcts_config, B, sharding, dispatch):
                 result.action_probs, legal, jnp.zeros((B_local,)), rng
             )
         new_states, _ = env.step_many(states, actions, interpret=ki)
-        return new_states
+        return new_states, result.prior_fallback_rate
 
     if dispatch is not None:
         # Whole-move shard_map (see KernelDispatch): each device searches and
@@ -218,14 +244,14 @@ def _match_move_fn(env, evaluate, mcts_config, B, sharding, dispatch):
                 local,
                 mesh=dispatch.mesh,
                 in_specs=(P(), P(), P(axis), P()),
-                out_specs=P(axis),
+                out_specs=(P(axis), P(axis)),
                 check_vma=False,
             )(stacked, i0, states, rng)
     else:
         move = move_local
 
     return jax.jit(move) if sharding is None else jax.jit(
-        move, out_shardings=sharding
+        move, out_shardings=(sharding, sharding)
     )
 
 
@@ -287,6 +313,7 @@ def play_match(
         )
     done_results = np.full(B, -2, np.int32)  # -2 = still running
 
+    fb_sum, fb_n = 0.0, 0
     starting_side = int(env.rules.starting_side)
     for move_i in range(max_game_len):
         side = (starting_side + move_i) % 2
@@ -294,10 +321,17 @@ def play_match(
         # attacker is on turn.
         i0 = jnp.int32(0 if side == 0 else 1)
         rng, sub = jax.random.split(rng)
-        states = move(stacked, i0, states, sub)
+        states, fb = move(stacked, i0, states, sub)
 
         res = np.asarray(states.result)
         term = np.asarray(states.terminated)
+        # Only searches of still-running games count toward the fallback
+        # metric (terminated games freeze but still run the batched search).
+        running = done_results == -2
+        if running.any():
+            fb_np = np.asarray(fb)
+            fb_sum += float(fb_np[running].sum())
+            fb_n += int(running.sum())
         newly = term & (done_results == -2)
         done_results[newly] = res[newly]
         if term.all():
@@ -320,4 +354,5 @@ def play_match(
         incumbent_wins=incumbent_w,
         draws=draws,
         truncated=truncated,
+        prior_fallback_rate=fb_sum / fb_n if fb_n else 0.0,
     )

@@ -99,6 +99,11 @@ class SelfPlayStats:
     #: prediction could be checked against the real outcome:
     resign_checked: int = 0
     resign_false_positive: int = 0  # mover did NOT go on to lose
+    #: mean of per-search prior-fallback rates (legal-masked NN policy summed
+    #: to zero -> uniform fallback; the reference's one error log,
+    #: src/mcts.py:96, counted as a metric per SURVEY §5):
+    fallback_sum: float = 0.0
+    fallback_searches: int = 0
 
     def as_dict(self):
         g = max(self.games, 1)
@@ -114,6 +119,11 @@ class SelfPlayStats:
             "resign_fp_rate": (
                 self.resign_false_positive / self.resign_checked
                 if self.resign_checked
+                else 0.0
+            ),
+            "prior_fallback_rate": (
+                self.fallback_sum / self.fallback_searches
+                if self.fallback_searches
                 else 0.0
             ),
         }
@@ -175,7 +185,7 @@ class SelfPlayActor:
         ki = bool(dispatch.interpret) if dispatch is not None else False
         self.mcts = MCTS(env, evaluate, mcts_config, kernel_interpret=ki)
 
-        def move_tail(states, legal, action_probs, best_action, root_v,
+        def move_tail(states, legal, action_probs, best_action, root_v, fb,
                       temps, r_sample, rng):
             """Action selection + env step + sparse top-K policy target —
             the ONE shared tail of every move path (monolithic, chunked
@@ -204,6 +214,7 @@ class SelfPlayActor:
                 top_a.astype(jnp.int32),
                 top_p,
                 root_v,
+                fb,
                 rng,
             )
 
@@ -213,7 +224,8 @@ class SelfPlayActor:
             result = self.mcts.search(params, states, legal, r_search, add_noise=True)
             return move_tail(
                 states, legal, result.action_probs, result.best_action,
-                result.root_value, temps, r_sample, rng,
+                result.root_value, result.prior_fallback_rate, temps, r_sample,
+                rng,
             )
 
         if sharding is None:
@@ -237,7 +249,8 @@ class SelfPlayActor:
                     )
                     return jit_post(
                         states, legal, res.action_probs, res.best_action,
-                        res.root_value, temps, r_sample, rng,
+                        res.root_value, res.prior_fallback_rate, temps,
+                        r_sample, rng,
                     )
 
                 self._move = move_chunked
@@ -276,21 +289,18 @@ class SelfPlayActor:
                         local,
                         mesh=dispatch.mesh,
                         in_specs=(P(), P(axis), P(axis), P()),
-                        out_specs=(P(axis),) * 6 + (P(),),
+                        out_specs=(P(axis),) * 7 + (P(),),
                         check_vma=False,
                     )(params, states, temps, rng)
 
                 jit_move = move_sharded
             else:
                 jit_move = move_fn
-            # (states, actions, info, top_a, top_p, root_value, rng):
+            # (states, actions, info, top_a, top_p, root_value, fb, rng):
             # everything batched over games except the carried rng key.
             self._move = jax.jit(
                 jit_move,
-                out_shardings=(
-                    sharding, sharding, sharding, sharding, sharding, sharding,
-                    repl,
-                ),
+                out_shardings=(sharding,) * 7 + (repl,),
             )
             self._reset_batch = jax.jit(
                 lambda: env.reset_batch(config.batch_size), out_shardings=sharding
@@ -379,7 +389,7 @@ class SelfPlayActor:
                 b_side = states.side_to_play
                 b_reps = states.reps[rows, b_side]
 
-                new_states, actions, info, top_a, top_p, root_v, _ = move_fn(
+                new_states, actions, info, top_a, top_p, root_v, fb, _ = move_fn(
                     params, states, temps, sub
                 )
                 done = new_states.terminated
@@ -429,6 +439,7 @@ class SelfPlayActor:
                     top_a=top_a,
                     top_p=top_p,
                     root_v=root_v,
+                    fb=fb,
                     ended=end,
                     result=result_out,
                     truncated=truncate,
@@ -488,6 +499,8 @@ class SelfPlayActor:
         cfg = self.cfg
         n_done = 0
         B = ys["ended"].shape[1]
+        stats.fallback_sum += float(ys["fb"].sum())
+        stats.fallback_searches += int(ys["fb"].size)
         for g in range(B):
             seg = {f: ys[f][:, g] for f in self._POS_FIELDS}
             events = np.nonzero(ys["ended"][:, g])[0]
@@ -605,9 +618,11 @@ class SelfPlayActor:
             ).astype(np.int8)
 
             rng, sub = jax.random.split(rng)
-            states, actions, info, top_a, top_p, root_v, _ = self._move(
+            states, actions, info, top_a, top_p, root_v, fb, _ = self._move(
                 params, states, temps, sub
             )
+            stats.fallback_sum += float(np.asarray(fb).sum())
+            stats.fallback_searches += B
 
             top_a_np = np.asarray(top_a)
             top_p_np = np.asarray(top_p)

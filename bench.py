@@ -206,7 +206,7 @@ def _wait_for_device(deadline_s: float) -> bool:
         time.sleep(15)
 
 
-def main():
+def run_bench():
     note = None
     if os.environ.get("JAX_PLATFORMS", "") == "cpu":
         # The preinstalled axon plugin overrides the env var; make the CPU
@@ -277,8 +277,102 @@ def main():
         rec["backend"] = backend
         rec["note"] = note
     if os.environ.get("TAFL_BENCH_MCTS", "1") != "0":
-        rec.update(bench_mcts_sims(on_accel))
-    print(json.dumps(rec))
+        try:
+            rec.update(bench_mcts_sims(on_accel))
+        except Exception as e:  # keep the headline number even if MCTS dies
+            rec["mcts_error"] = f"{type(e).__name__}: {e}"[:300]
+    print(json.dumps(rec), flush=True)
+
+
+def _last_json_line(text: str):
+    """Last stdout line that parses as a JSON object, or None."""
+    for line in reversed(text.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    return None
+
+
+def main():
+    """Orchestrate the bench so the capture ALWAYS emits one JSON line.
+
+    Round 4's official record was a traceback: a mid-run TPU client fault
+    (``FAILED_PRECONDITION`` at the warm-up checksum fetch) killed the
+    process, and an in-process jax client cannot recover from that state.
+    So the bench body runs in a SUBPROCESS: on a crash/timeout the parent
+    re-probes the device (``_wait_for_device``), retries, and finally
+    degrades to a CPU run with an explanatory ``note`` — mirroring what the
+    unreachable-at-start path already did in-process.
+    """
+    if os.environ.get("TAFL_BENCH_INNER") == "1":
+        run_bench()
+        return
+
+    import subprocess
+    import sys
+
+    attempts = int(os.environ.get("TAFL_BENCH_ATTEMPTS", "2"))
+    timeout_s = float(os.environ.get("TAFL_BENCH_ATTEMPT_TIMEOUT_S", "2700"))
+    inner_env = dict(os.environ, TAFL_BENCH_INNER="1")
+    # The parent owns device probing; don't let the child block another 900 s.
+    inner_env.setdefault("TAFL_BENCH_DEVICE_WAIT_S", "120")
+    cpu_requested = os.environ.get("JAX_PLATFORMS", "") == "cpu"
+    errs = []
+
+    def attempt(env):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            errs.append(f"timeout after {timeout_s:.0f}s")
+            return None
+        rec = _last_json_line(r.stdout)
+        if r.returncode == 0 and rec is not None:
+            return rec
+        tail = (r.stderr or r.stdout or "").strip().splitlines()
+        errs.append(f"rc={r.returncode}: {tail[-1][:200] if tail else 'no output'}")
+        return None
+
+    for i in range(attempts if not cpu_requested else 1):
+        if not cpu_requested:
+            wait_s = float(os.environ.get("TAFL_BENCH_DEVICE_WAIT_S", "900"))
+            if not _wait_for_device(wait_s):
+                errs.append(f"accelerator unreachable after {wait_s:.0f}s")
+                break
+        rec = attempt(inner_env)
+        if rec is not None:
+            print(json.dumps(rec), flush=True)
+            return
+        time.sleep(20 * (i + 1))
+
+    # CPU fallback: a degraded number beats a traceback in the record.
+    if not cpu_requested:
+        rec = attempt(dict(inner_env, JAX_PLATFORMS="cpu"))
+        if rec is not None:
+            rec["backend"] = "cpu"
+            rec["note"] = "TPU attempts failed: " + " | ".join(errs[-3:])
+            print(json.dumps(rec), flush=True)
+            return
+    print(
+        json.dumps(
+            {
+                "metric": "env_steps_per_sec_per_chip_11x11",
+                "value": None,
+                "unit": "steps/s",
+                "vs_baseline": None,
+                "note": "all attempts failed: " + " | ".join(errs[-4:]),
+            }
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

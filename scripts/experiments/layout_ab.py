@@ -69,7 +69,7 @@ def run_variant(variant: str, batch=1024, sims=800, children=128, chunk=100, ite
             "scan": jax.jit(
                 mcts._wave_scan,
                 in_shardings=(None, tfmt, fmt_tree(aux0), None, None),
-                out_shardings=tfmt,
+                out_shardings=(tfmt, None),
             ),
             "final": jax.jit(
                 mcts._finalize,

@@ -80,10 +80,14 @@ def main():
     p.add_argument("--arena-max-len", type=int, default=200)
     p.add_argument("--arena-every", type=int, default=1)
     p.add_argument("--gate", type=float, default=0.55)
-    p.add_argument("--gate-on", default="score", choices=["score", "decisive"],
+    p.add_argument("--gate-on", default="score",
+                   choices=["score", "decisive", "wilson"],
                    help="'decisive' gates on decisive-game win rate "
-                        "(draw-robust)")
+                        "(draw-robust); 'wilson' on its Wilson lower bound "
+                        "at --gate-z (set --gate ~0.5 then)")
     p.add_argument("--gate-min-decisive", type=int, default=4)
+    p.add_argument("--gate-z", type=float, default=1.0,
+                   help="one-sided normal quantile for --gate-on wilson")
     p.add_argument("--checkpoint-every", type=int, default=2)
     p.add_argument("--checkpoint-keep", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
@@ -92,7 +96,9 @@ def main():
 
     run_dir = os.path.join("runs", args.name)
     os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "config.json"), "a") as f:
+    # .jsonl: one record appended per invocation (resumes included), so the
+    # file is a history, not a single JSON document (advisor r4).
+    with open(os.path.join(run_dir, "config.jsonl"), "a") as f:
         f.write(json.dumps(vars(args)) + "\n")
 
     env = make_env(args.preset)
@@ -115,6 +121,7 @@ def main():
         gate_threshold=args.gate,
         gate_on=args.gate_on,
         gate_min_decisive=args.gate_min_decisive,
+        gate_z=args.gate_z,
         checkpoint_dir=os.path.join(run_dir, "ckpt"),
         checkpoint_every=args.checkpoint_every,
         checkpoint_keep=args.checkpoint_keep,

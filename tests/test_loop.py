@@ -236,3 +236,26 @@ def test_params_only_restore_arch_mismatch(tmp_path):
         )
         with pytest.raises(ValueError, match="different architecture"):
             mgr.restore(base2, None)
+
+
+def test_wilson_gate_bound():
+    """decisive_wilson_lb (VERDICT r4 #5): confidence-aware gate signal."""
+    from alphazeroforhnefatafl_tpu.train.arena import ArenaResult
+
+    # 9/12 decisive (the round-4 failure mode: decisive games are few).
+    r = ArenaResult(games=64, candidate_wins=9, incumbent_wins=3, draws=52)
+    assert r.decisive_games == 12
+    lb1, lb2 = r.decisive_wilson_lb(1.0), r.decisive_wilson_lb(1.96)
+    # The bound sits strictly below the point estimate and tightens with z.
+    assert 0.5 < lb1 < r.decisive_score
+    assert lb2 < lb1 < r.decisive_score
+    # At 95% confidence 9/12 is NOT enough to clear 0.5 — the gate holds.
+    assert lb2 < 0.5
+    # More decisive evidence at the same rate clears the stricter bound too.
+    big = ArenaResult(games=64, candidate_wins=36, incumbent_wins=12, draws=16)
+    assert big.decisive_wilson_lb(1.96) > 0.5
+    # No decisive games -> bound 0: never promotes.
+    r0 = ArenaResult(games=4, candidate_wins=0, incumbent_wins=0, draws=4)
+    assert r0.decisive_wilson_lb() == 0.0
+    d = r.as_dict()
+    assert "decisive_wilson_lb" in d and "prior_fallback_rate" in d

@@ -502,3 +502,140 @@ def test_backup_modes_equivalent():
         np.asarray(results["dense"].action_probs),
         np.asarray(results["scatter"].action_probs),
     )
+
+
+def test_prior_fallback_metric():
+    """The all-masked-policy event (src/mcts.py:96 — the reference's one
+    error log; SURVEY §5 says count it as a metric) is surfaced as
+    SearchResult.prior_fallback_rate: ~0 for a sane net, ~1 for a net whose
+    legal logits carry zero mass, in both the monolithic and chunked paths."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    state_b = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), env.reset())
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    cfg = MCTSConfig(
+        num_simulations=16, max_children=16, dirichlet_eps=0.0, max_depth=16
+    )
+
+    # Sane net: masked priors always carry mass -> no fallback.
+    mcts = MCTS(env, make_fake_evaluate(env), cfg)
+    res = jax.jit(lambda s, l, r: mcts.search(None, s, l, r, add_noise=False))(
+        state_b, legal_b, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_array_equal(np.asarray(res.prior_fallback_rate), 0.0)
+
+    # Degenerate net: -inf logits on every action -> softmax mass lands only
+    # on ILLEGAL actions, the legal-masked policy sums to zero, and the
+    # uniform-over-legal fallback fires at every consumed expansion.
+    def degenerate(params, obs):
+        B = obs.shape[0]
+        return (
+            jnp.full((B, env.num_actions), -jnp.inf, jnp.float32),
+            jnp.zeros((B,), jnp.float32),
+        )
+
+    bad = MCTS(env, degenerate, cfg)
+    res_bad = jax.jit(lambda s, l, r: bad.search(None, s, l, r, add_noise=False))(
+        state_b, legal_b, jax.random.PRNGKey(0)
+    )
+    fb = np.asarray(res_bad.prior_fallback_rate)
+    assert np.all(fb == 1.0), fb
+    # The fallback keeps the search usable: uniform priors over legal moves,
+    # visits still distributed.
+    assert int(np.asarray(res_bad.root_visits)[0]) == cfg.num_simulations
+
+    # Chunked driver accumulates the same counts across chunks.
+    res_chunk = bad.search_in_chunks(
+        None, state_b, legal_b, jax.random.PRNGKey(0), add_noise=False, chunk=4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res_chunk.prior_fallback_rate), fb
+    )
+
+
+@pytest.mark.parametrize("L", [2, 4])
+def test_multi_leaf_waves(L):
+    """leaves_per_wave > 1 (virtual-loss waves): every traversal still backs
+    up exactly one root edge, so total root visits equal the simulation
+    budget; probabilities stay a distribution over legal actions; the
+    chunked driver is bit-identical to the monolithic search; and the tree
+    respects the node budget."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    state_b = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), env.reset())
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    cfg = MCTSConfig(
+        num_simulations=32, max_children=16, dirichlet_eps=0.0, max_depth=16,
+        leaves_per_wave=L,
+    )
+    mcts = MCTS(env, make_fake_evaluate(env), cfg)
+    res = jax.jit(lambda s, l, r: mcts.search(None, s, l, r, add_noise=False))(
+        state_b, legal_b, jax.random.PRNGKey(0)
+    )
+    assert np.all(np.asarray(res.root_visits) == cfg.num_simulations)
+    probs = np.asarray(res.action_probs)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+    legal_np = np.asarray(legal_b)
+    assert np.all(probs[~legal_np] == 0)
+    # Node budget: exactly num_simulations leaves allocated + the root.
+    assert np.all(np.asarray(res.tree.n_nodes) == cfg.num_simulations + 1)
+    # Every linked child index is a valid allocated slot.
+    cn = np.asarray(res.tree.child_node)
+    assert cn.max() <= cfg.num_simulations
+    # Visit conservation at every node: sum of edge visits == visits INTO
+    # the node (root: all sims; interior: its parent edge's N) minus
+    # leaf-evaluation visits — weaker invariant checked: no negative stats.
+    assert np.asarray(res.tree.child_N).min() >= 0
+
+    chunked = mcts.search_in_chunks(
+        None, state_b, legal_b, jax.random.PRNGKey(0), add_noise=False,
+        chunk=2 * L,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.tree.child_N), np.asarray(chunked.tree.child_N)
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.action_probs), np.asarray(chunked.action_probs),
+        rtol=1e-6,
+    )
+
+
+def test_multi_leaf_finds_king_escape():
+    """Virtual-loss waves must not break tactics: mate-in-1 king escape is
+    still found (mirrors test_mcts_finds_king_escape at L=4)."""
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    from alphazeroforhnefatafl_tpu.core import fen as F
+
+    board = F.board_from_fen("2K4/7/3t3/7/7/3T3/7")
+    s = env.reset().replace(
+        board=jnp.asarray(board, jnp.int8),
+        side_to_play=jnp.int32(int(Side.DEFENDER)),
+    )
+    state_b = jax.tree_util.tree_map(lambda x: x[None], s)
+    legal_b = jax.vmap(env.legal_mask)(state_b)
+    cfg = MCTSConfig(
+        num_simulations=64, max_children=64, dirichlet_eps=0.0, max_depth=32,
+        leaves_per_wave=4,
+    )
+    mcts = MCTS(env, make_fake_evaluate(env), cfg)
+    res = jax.jit(lambda s, l, r: mcts.search(None, s, l, r, add_noise=False))(
+        state_b, legal_b, jax.random.PRNGKey(0)
+    )
+    wins = {
+        A.encode_from_tiles(7, (0, 2), (0, 0)),  # escape left
+        A.encode_from_tiles(7, (0, 2), (0, 6)),  # escape right
+    }
+    assert int(np.asarray(res.best_action)[0]) in wins
+    assert float(res.root_value[0]) > 0.3
+
+
+def test_multi_leaf_validation():
+    env = TaflEnv(BRANDUBH, BOARDS.BRANDUBH)
+    ev = make_fake_evaluate(env)
+    with pytest.raises(ValueError):
+        MCTS(env, ev, MCTSConfig(num_simulations=16, leaves_per_wave=3))
+    with pytest.raises(ValueError):
+        MCTS(
+            env, ev,
+            MCTSConfig(
+                num_simulations=16, leaves_per_wave=2, root_selection="gumbel"
+            ),
+        )

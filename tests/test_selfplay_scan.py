@@ -151,7 +151,7 @@ def test_sharded_scan_chunk_no_collectives_and_matches_per_move():
         b_board = np.asarray(states.board)
         b_side = np.asarray(states.side_to_play)
         rng, sub = jax.random.split(rng)
-        states, actions, info, top_a, top_p, root_v, _ = per_move._move(
+        states, actions, info, top_a, top_p, root_v, _fb, _ = per_move._move(
             None, states, temps, sub
         )
         done = np.asarray(states.terminated)

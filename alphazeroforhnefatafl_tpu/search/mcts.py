@@ -75,6 +75,10 @@ class MCTSConfig:
     #: elsewhere). Only affects WHICH of the >max_children lowest-prior
     #: candidates are kept; exact/approx agree on clear-cut priors.
     topk: str = "auto"
+    #: Recall target for the approx top-k (TPU path). Lower = cheaper
+    #: partial reduce; only affects which of the LOWEST-prior candidates
+    #: survive the cut — the search then re-ranks survivors by PUCT anyway.
+    topk_recall: float = 0.99
     #: Tree levels advanced per traversal while-loop iteration. Measured on
     #: the tunneled v5e: one while iteration costs ~0.6 ms regardless of its
     #: body (row gathers are ~0.03 ms each), so unrolling U levels per
@@ -360,7 +364,9 @@ class MCTS:
     def _topk(self, priors: jax.Array) -> Tuple[jax.Array, jax.Array]:
         if self._approx_topk:
             return jax.lax.approx_max_k(
-                priors, self.config.max_children, recall_target=0.99
+                priors,
+                self.config.max_children,
+                recall_target=self.config.topk_recall,
             )
         return jax.lax.top_k(priors, self.config.max_children)
 
@@ -989,20 +995,22 @@ class MCTS:
             rows = self._node_rows_multi(tree, read_node)  # [B, L, P]
             flat_rows = rows.reshape(B * L, -1)
             parent_state = jax.vmap(lambda r: _unpack_state(r, n))(flat_rows)
-            act_rows = jnp.take_along_axis(
-                tree.child_action,
-                jnp.broadcast_to(
-                    jnp.maximum(parent, 0)[:, :, None], (B, L, K)
-                ),
-                axis=1,
-            )  # [B, L, K]
-            actions = jnp.maximum(
-                jnp.sum(
-                    act_rows * (jnp.arange(K)[None, None, :] == slot[:, :, None]),
-                    axis=-1,
-                ),
-                0,
-            ).astype(jnp.int32)  # [B, L]
+            # Per-leaf B-index ROW gathers (the cheap gather class — the
+            # same lowering as the traversal's stat reads); a broadcast
+            # take_along_axis here lowered to the near-serial per-element
+            # gather family and tripled the wave cost (measured round 5).
+            acts = []
+            for l in range(L):
+                row = jax.vmap(lambda tr, p: tr.child_action[p])(
+                    tree, jnp.maximum(parent[:, l], 0)
+                )  # [B, K]
+                acts.append(
+                    jnp.sum(
+                        row * (jnp.arange(K)[None, :] == slot[:, l][:, None]),
+                        axis=-1,
+                    )
+                )
+            actions = jnp.maximum(jnp.stack(acts, 1), 0).astype(jnp.int32)
             child_state, step_info = self.env.step_many(
                 parent_state, actions.reshape(B * L),
                 interpret=self.kernel_interpret,
@@ -1061,8 +1069,23 @@ class MCTS:
             # Terminal flags come straight from the stepped child (fresh or
             # duplicate leaves) or the stored node (at_node_leaf), not from
             # the just-written buffers — a duplicate's slot was never written.
-            stop_term = jnp.take_along_axis(tree.terminal, stop_node, axis=1)
-            stop_tv = jnp.take_along_axis(tree.terminal_value, stop_node, axis=1)
+            # Per-leaf scalar reads via the traversal's own cheap indexing.
+            stop_term = jnp.stack(
+                [
+                    jax.vmap(lambda tr, v: tr.terminal[v])(tree, stop_node[:, l])
+                    for l in range(L)
+                ],
+                1,
+            )
+            stop_tv = jnp.stack(
+                [
+                    jax.vmap(lambda tr, v: tr.terminal_value[v])(
+                        tree, stop_node[:, l]
+                    )
+                    for l in range(L)
+                ],
+                1,
+            )
             leaf_terminal = jnp.where(at_node_leaf, stop_term, term)  # [B, L]
             leaf_tv = jnp.where(at_node_leaf, stop_tv, tvals)
 
@@ -1083,6 +1106,9 @@ class MCTS:
             obs = jax.vmap(self.env.observe)(leaf_state)
             logits, value = self.evaluate(params, obs)  # [B*L, ...]
             priors, fell_back = _masked_priors_fb(logits, leaf_legal)
+            # ONE [B*L, A] top-k: two separate [B, A] calls measured SLOWER
+            # (each approx_max_k invocation carries a multi-ms fixed cost in
+            # this program — 101.5k vs 129.6k sims/s at L=2, round 5).
             top_p, top_a = self._topk(priors)
             has_mass = top_p > 0
             top_a = jnp.where(has_mass, top_a, -1).astype(jnp.int32)

@@ -67,12 +67,13 @@ def bench_mcts_sims(on_accel: bool) -> dict:
     net = make_network(env.n, channels=64, blocks=6)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
 
-    def one(batch, sims, children, iters, chunk):
+    def one(batch, sims, children, iters, chunk, leaves=1, recall=0.99):
         mcts = MCTS(
             env,
             lambda p, obs: net.apply(p, obs),
             MCTSConfig(
-                num_simulations=sims, max_children=children, dirichlet_eps=0.0
+                num_simulations=sims, max_children=children, dirichlet_eps=0.0,
+                leaves_per_wave=leaves, topk_recall=recall,
             ),
         )
         state = env.reset_batch(batch)
@@ -112,15 +113,18 @@ def bench_mcts_sims(on_accel: bool) -> dict:
 
     flops = net_flops_per_eval(env.n, env.num_observation_planes, 64, 6)
     if on_accel:
-        best128, mean128 = one(1024, 128, 32, 3, 0)
-        best800, mean800 = one(1024, 800, 128, 2, 100)
+        # Round-5 tuned regimes (docs/DESIGN.md): multi-leaf virtual-loss
+        # waves + approx-top-k recall 0.9 — measured 357.8k (128-sim, L2)
+        # and 237.1k (800-sim, L4) vs 269.8k / 126.7k at L1/r0.99.
+        best128, mean128 = one(1024, 128, 32, 3, 0, leaves=2, recall=0.9)
+        best800, mean800 = one(1024, 800, 128, 2, 100, leaves=4, recall=0.9)
         out = {
             "mcts_sims_per_s": best128,
             "mcts_sims_per_s_mean": mean128,
-            "mcts_config": "b1024_s128_k32",
+            "mcts_config": "b1024_s128_k32_L2_r0.9",
             "mcts_sims_per_s_800": best800,
             "mcts_sims_per_s_800_mean": mean800,
-            "mcts_config_800": "b1024_s800_k128_c100",
+            "mcts_config_800": "b1024_s800_k128_c100_L4_r0.9",
             # NN-forward MFU at each regime: one eval per simulation, so
             # evals/s == sims/s; everything the search spends beyond the
             # forward (traversal, env steps, backup) shows up as lost MFU.

@@ -19,14 +19,16 @@ from alphazeroforhnefatafl_tpu.search.mcts import MCTS, MCTSConfig
 
 
 def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=6,
-          chunk=0, node_read="auto", unroll=4, norm="group"):
+          chunk=0, node_read="auto", unroll=4, norm="group", leaves=1,
+          max_depth=64, recall=0.99):
     env = make_env("copenhagen")
     net = make_network(env.n, channels=channels, blocks=blocks, norm=norm)
     params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
     evaluate = lambda p, obs: net.apply(p, obs)
     cfg = MCTSConfig(
         num_simulations=sims, max_children=children, dirichlet_eps=0.0,
-        node_read=node_read, traverse_unroll=unroll,
+        node_read=node_read, traverse_unroll=unroll, leaves_per_wave=leaves,
+        max_depth=max_depth, topk_recall=recall,
     )
     mcts = MCTS(env, evaluate, cfg)
 
@@ -80,6 +82,9 @@ def bench(batch: int, sims: int, children: int, iters: int, channels=64, blocks=
                 "metric": f"mcts_sims_per_s_11x11_b{batch}_s{sims}_k{children}"
                 + (f"_c{chunk}" if chunk else "")
                 + f"_{node_read}_u{unroll}"
+                + (f"_L{leaves}" if leaves > 1 else "")
+                + (f"_r{recall}" if recall != 0.99 else "")
+                + (f"_d{max_depth}" if max_depth != 64 else "")
                 + ("_nf" if norm == "none" else ""),
                 "value": round(sims_per_s, 1),
                 "unit": "sims/s",
@@ -109,6 +114,12 @@ if __name__ == "__main__":
                    help="traversal levels per while-loop iteration")
     p.add_argument("--norm", default="group", choices=["group", "none"],
                    help="'none' = norm-free NFResBlock trunk")
+    p.add_argument("--leaves", type=int, default=1,
+                   help="leaves per tree per wave (virtual-loss multi-leaf)")
+    p.add_argument("--max-depth", type=int, default=64)
+    p.add_argument("--recall", type=float, default=0.99,
+                   help="approx top-k recall target")
     a = p.parse_args()
     bench(a.batch, a.sims, a.children, a.iters, chunk=a.chunk,
-          node_read=a.node_read, unroll=a.unroll, norm=a.norm)
+          node_read=a.node_read, unroll=a.unroll, norm=a.norm,
+          leaves=a.leaves, max_depth=a.max_depth, recall=a.recall)

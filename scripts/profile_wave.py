@@ -25,6 +25,7 @@ def main():
     p.add_argument("--sims", type=int, default=800)
     p.add_argument("--children", type=int, default=128)
     p.add_argument("--chunk", type=int, default=100)
+    p.add_argument("--leaves", type=int, default=1)
     p.add_argument("--trace-dir", default="/tmp/tafl_trace")
     a = p.parse_args()
 
@@ -35,7 +36,8 @@ def main():
         env,
         lambda p_, obs: net.apply(p_, obs),
         MCTSConfig(
-            num_simulations=a.sims, max_children=a.children, dirichlet_eps=0.0
+            num_simulations=a.sims, max_children=a.children, dirichlet_eps=0.0,
+            leaves_per_wave=a.leaves,
         ),
     )
     state = env.reset_batch(a.batch)

@@ -58,6 +58,11 @@ def main():
                         "moves per dispatch via lax.scan (on multi-device "
                         "meshes the whole scan runs inside one shard_map)")
     p.add_argument("--children", type=int, default=32)
+    p.add_argument("--leaves", type=int, default=1,
+                   help="MCTS leaves per tree per wave (virtual-loss "
+                        "multi-leaf; must divide --sims)")
+    p.add_argument("--topk-recall", type=float, default=0.99,
+                   help="approx top-k recall target for child selection")
     p.add_argument("--gumbel", action="store_true", help="gumbel root selection")
     p.add_argument("--gumbel-considered", type=int, default=16)
     p.add_argument("--gumbel-sample-early", action="store_true",
@@ -132,6 +137,8 @@ def main():
             root_selection="gumbel" if args.gumbel else "puct",
             gumbel_considered=args.gumbel_considered,
             dirichlet_alpha_scale=args.alpha_scale,
+            leaves_per_wave=args.leaves,
+            topk_recall=args.topk_recall,
         ),
         selfplay=SelfPlayConfig(
             batch_size=args.selfplay_batch,

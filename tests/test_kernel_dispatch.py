@@ -193,3 +193,27 @@ def test_arena_shard_pair_evaluate_owner_layout():
         )(i0, o)
     )(jnp.int32(1), obs)
     np.testing.assert_array_equal(np.asarray(got1), [20.0] * 8 + [10.0] * 8)
+
+
+def test_multi_leaf_under_dispatch_no_allgather():
+    """The round-5 multi-leaf search (leaves_per_wave=2) composes with the
+    whole-move shard_map: still zero all-gathers, and the dispatched outputs
+    match the plain single-program path exactly (noise off)."""
+    env = make_env("brandubh")
+    mesh = make_mesh(axis_sizes=(8,), axis_names=("dp",))
+    sh = batch_sharding(mesh)
+    a_disp = _make_actor(
+        env, sh, KernelDispatch(mesh, interpret=True),
+        dirichlet_eps=0.0, leaves_per_wave=2,
+    )
+    states = a_disp._reset_batch()
+    temps = jnp.zeros((8,))
+    rng = jax.random.PRNGKey(7)
+    hlo = a_disp._move.lower(None, states, temps, rng).compile().as_text()
+    assert "all-gather" not in hlo
+    assert "all-reduce" not in hlo
+    a_plain = _make_actor(env, sh, None, dirichlet_eps=0.0, leaves_per_wave=2)
+    out_d = a_disp._move(None, states, temps, rng)
+    out_p = a_plain._move(None, states, temps, rng)
+    for i in (3, 4, 5, 6):  # top_a, top_p, root_value, fallback rate
+        assert np.allclose(np.asarray(out_d[i]), np.asarray(out_p[i])), i

@@ -255,6 +255,114 @@ def _match_move_fn(env, evaluate, mcts_config, B, sharding, dispatch):
     )
 
 
+def play_config_match(
+    env: TaflEnv,
+    evaluate: Callable,
+    params_candidate,
+    params_incumbent,
+    config_candidate: MCTSConfig,
+    config_incumbent: MCTSConfig,
+    num_games: int = 32,
+    max_game_len: int = 256,
+    rng: jax.Array = None,
+) -> ArenaResult:
+    """Pit two SEARCH CONFIGS (e.g. multi-leaf vs serial waves, different
+    recall/sims) against each other — params may be identical or differ.
+
+    Layout mirrors :func:`play_match` (candidate is attacker in the first
+    half of the batch, defender in the second), so on any ply one config
+    owns each half: the move runs one half-batch search per config. Two
+    move programs compile (candidate-moves-first-half and the flip);
+    single-device only — config A/Bs are evaluation-sized.
+    """
+    rng = jax.random.PRNGKey(0) if rng is None else rng
+    B = num_games
+    if B % 2 != 0:
+        raise ValueError("num_games must be even (candidate plays each color)")
+    mcts_c = MCTS(env, evaluate, config_candidate)
+    mcts_i = MCTS(env, evaluate, config_incumbent)
+    half = B // 2
+
+    def make_move(cand_owns_first: bool):
+        m_first, m_second = (
+            (mcts_c, mcts_i) if cand_owns_first else (mcts_i, mcts_c)
+        )
+
+        def sel(m, res, legal, rng, n):
+            if m.config.root_selection == "gumbel":
+                return res.best_action
+            return select_actions(res.action_probs, legal, jnp.zeros((n,)), rng)
+
+        def move(p_first, p_second, states, rng):
+            r1, r2 = jax.random.split(rng)
+            s1 = jax.tree_util.tree_map(lambda x: x[:half], states)
+            s2 = jax.tree_util.tree_map(lambda x: x[half:], states)
+            l1 = env.legal_mask_many(s1)
+            l2 = env.legal_mask_many(s2)
+            res1 = m_first.search(p_first, s1, l1, r1, add_noise=False)
+            res2 = m_second.search(p_second, s2, l2, r2, add_noise=False)
+            actions = jnp.concatenate(
+                [sel(m_first, res1, l1, r1, half), sel(m_second, res2, l2, r2, half)]
+            )
+            new_states, _ = env.step_many(states, actions)
+            fb = jnp.concatenate(
+                [res1.prior_fallback_rate, res2.prior_fallback_rate]
+            )
+            return new_states, fb
+
+        return jax.jit(move)
+
+    moves = {True: make_move(True), False: make_move(False)}
+
+    cand_is_attacker = np.arange(B) < half
+    states = env.reset_batch(B)
+    done_results = np.full(B, -2, np.int32)
+    fb_sum, fb_n = 0.0, 0
+    starting_side = int(env.rules.starting_side)
+    for move_i in range(max_game_len):
+        side = (starting_side + move_i) % 2
+        cand_owns_first = side == 0  # candidate-attacker games in first half
+        m = moves[cand_owns_first]
+        p_first, p_second = (
+            (params_candidate, params_incumbent)
+            if cand_owns_first
+            else (params_incumbent, params_candidate)
+        )
+        rng, sub = jax.random.split(rng)
+        states, fb = m(p_first, p_second, states, sub)
+        res = np.asarray(states.result)
+        term = np.asarray(states.terminated)
+        running = done_results == -2
+        if running.any():
+            fb_np = np.asarray(fb)
+            fb_sum += float(fb_np[running].sum())
+            fb_n += int(running.sum())
+        newly = term & running
+        done_results[newly] = res[newly]
+        if term.all():
+            break
+
+    cand_w = incumbent_w = draws = truncated = 0
+    for g in range(B):
+        r = int(done_results[g])
+        if r == -2:
+            truncated += 1
+        elif r == DRAW:
+            draws += 1
+        elif (r == 0) == bool(cand_is_attacker[g]):
+            cand_w += 1
+        else:
+            incumbent_w += 1
+    return ArenaResult(
+        games=B,
+        candidate_wins=cand_w,
+        incumbent_wins=incumbent_w,
+        draws=draws,
+        truncated=truncated,
+        prior_fallback_rate=fb_sum / fb_n if fb_n else 0.0,
+    )
+
+
 def play_match(
     env: TaflEnv,
     evaluate: Callable,

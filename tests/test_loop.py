@@ -259,3 +259,38 @@ def test_wilson_gate_bound():
     assert r0.decisive_wilson_lb() == 0.0
     d = r.as_dict()
     assert "decisive_wilson_lb" in d and "prior_fallback_rate" in d
+
+
+def test_play_config_match_two_search_configs():
+    """play_config_match pits two MCTSConfigs with one net: completes, counts
+    are consistent, and the per-half config split preserves the color
+    alternation accounting."""
+    import jax
+
+    from alphazeroforhnefatafl_tpu.train.arena import play_config_match
+    from alphazeroforhnefatafl_tpu.models.network import (
+        init_params,
+        make_network,
+    )
+
+    env = make_env("brandubh")
+    net = make_network(env.n, channels=8, blocks=1)
+    params = init_params(net, jax.random.PRNGKey(0), env.num_observation_planes)
+    res = play_config_match(
+        env,
+        jax.jit(lambda p, obs: net.apply(p, obs)),
+        params,
+        params,
+        MCTSConfig(num_simulations=8, max_children=8, max_depth=8,
+                   dirichlet_eps=0.0, leaves_per_wave=2),
+        MCTSConfig(num_simulations=8, max_children=8, max_depth=8,
+                   dirichlet_eps=0.0),
+        num_games=4,
+        max_game_len=40,
+        rng=jax.random.PRNGKey(1),
+    )
+    assert res.games == 4
+    assert (
+        res.candidate_wins + res.incumbent_wins + res.draws + res.truncated == 4
+    )
+    assert 0.0 <= res.prior_fallback_rate <= 1.0

@@ -121,6 +121,9 @@ class SelfPlayStats:
                 if self.resign_checked
                 else 0.0
             ),
+            # Denominator for the fp rate: without it, per-iteration rates
+            # cannot be aggregated into a run-level figure.
+            "resign_checked": self.resign_checked,
             "prior_fallback_rate": (
                 self.fallback_sum / self.fallback_searches
                 if self.fallback_searches

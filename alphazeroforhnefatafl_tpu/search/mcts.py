@@ -130,8 +130,14 @@ class MCTSConfig:
     #: instead of descending into it). Must divide num_simulations.
     leaves_per_wave: int = 1
     #: Virtual-loss weight: pending traversals count as this many losses on
-    #: their path edges during intra-wave selection.
-    virtual_loss: float = 1.0
+    #: their path edges during intra-wave selection. Head-to-head A/Bs with
+    #: a trained 11x11 net at 128 sims (runs/search_ab_r5.jsonl) measured a
+    #: U-shape: 1.0 diverts so much budget off the principal variation that
+    #: L=2 loses ~700 Elo to the serial search; 0.0 (pure virtual VISITS)
+    #: loses ~137; 0.25 loses ~66 — the measured sweet spot and the
+    #: default. The penalty shrinks with the simulation budget (the PV keeps
+    #: proportionally more visits at 800 sims than at 128).
+    virtual_loss: float = 0.25
 
 
 class Tree(struct.PyTreeNode):

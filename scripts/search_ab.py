@@ -42,6 +42,7 @@ def parse_cfg(spec: str, sims: int, children: int) -> MCTSConfig:
         dirichlet_eps=0.0,
         leaves_per_wave=int(kw.pop("leaves", 1)),
         topk_recall=float(kw.pop("recall", 0.99)),
+        virtual_loss=float(kw.pop("vloss", 1.0)),
         **kw,
     )
 
